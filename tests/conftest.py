@@ -1,0 +1,52 @@
+import os
+import subprocess
+import sys
+
+# Simulate an 8-device mesh on CPU for all sharding tests; the TPU bench
+# path sets its own platform explicitly.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault(
+    "XLA_FLAGS",
+    (os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8").strip(),
+)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+REF_SRC = "/root/reference/src"
+REF_BUILD = "/tmp/refbuild"
+
+
+def _ensure_ref_build():
+    csc = os.path.join(REF_BUILD, "csc")
+    if os.path.exists(csc):
+        return REF_BUILD
+    if not os.path.isdir(REF_SRC):
+        return None
+    import shutil
+    shutil.copytree(REF_SRC, REF_BUILD, dirs_exist_ok=True)
+    r = subprocess.run(["make", "-j4"], cwd=REF_BUILD, capture_output=True)
+    if r.returncode != 0 or not os.path.exists(csc):
+        return None
+    return REF_BUILD
+
+
+@pytest.fixture(scope="session")
+def ref_build():
+    """Path to a built reference checkout, or skip."""
+    path = _ensure_ref_build()
+    if path is None:
+        pytest.skip("reference build unavailable")
+    return path
+
+
+@pytest.fixture(scope="session")
+def corpus_dir(tmp_path_factory):
+    """Deterministic test corpora (see tools/make_corpus.py)."""
+    d = tmp_path_factory.mktemp("corpus")
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    import make_corpus
+    make_corpus.build(str(d))
+    return str(d)
