@@ -3,8 +3,9 @@ import subprocess
 import sys
 
 # Simulate an 8-device mesh on CPU for all sharding tests; the TPU bench
-# path sets its own platform explicitly.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# path sets its own platform explicitly.  (The environment pins
+# JAX_PLATFORMS=axon for the real chip — tests must override, not default.)
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault(
     "XLA_FLAGS",
     (os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8").strip(),

@@ -1,0 +1,74 @@
+"""Batched TPU decode scan vs golden: bit-exact on mixed-type streams."""
+import os
+
+import pytest
+
+from csc_tpu.golden import compress
+from csc_tpu.props import read_properties
+from csc_tpu.ops.pipeline import decode_batch, decode_stream_tpu
+
+
+def _mk(data, level=2):
+    blob = compress(data, level=level, dict_size=max(len(data), 1))
+    return read_properties(blob[:10]), blob
+
+
+def test_decode_single_text(corpus_dir):
+    with open(os.path.join(corpus_dir, "corpus_text1m.bin"), "rb") as f:
+        data = f.read(30 * 1024)
+    props, blob = _mk(data)
+    assert decode_stream_tpu(props, blob, 10) == data
+
+
+def test_decode_batch_mixed_types(corpus_dir):
+    files = ["corpus_text1m.bin", "corpus_exe.bin", "corpus_random.bin",
+             "corpus_delta.bin"]
+    datas = []
+    for fn in files:
+        with open(os.path.join(corpus_dir, fn), "rb") as f:
+            datas.append(f.read(24 * 1024))
+    # also one stream concatenating everything (multi-block, type switches)
+    datas.append(b"".join(datas))
+    pairs = [_mk(d) for d in datas]
+    outs = decode_batch([p for p, _ in pairs], [b for _, b in pairs],
+                        [10] * len(pairs))
+    for out, data in zip(outs, datas):
+        assert out == data
+
+
+@pytest.mark.parametrize("level", [1, 3, 5])
+def test_decode_levels(corpus_dir, level):
+    with open(os.path.join(corpus_dir, "corpus_text1m.bin"), "rb") as f:
+        data = f.read(20 * 1024)
+    props, blob = _mk(data, level)
+    assert decode_stream_tpu(props, blob, 10) == data
+
+
+def test_decode_multichunk(corpus_dir):
+    """> raw_blocksize input → multiple chunks → per-chunk coder reset."""
+    with open(os.path.join(corpus_dir, "corpus_text1m.bin"), "rb") as f:
+        data = f.read(96 * 1024)
+    from csc_tpu.props import props_init
+    props = props_init(len(data), 2)
+    props.raw_blocksize = 32 * 1024   # force 3 chunks
+    from csc_tpu.golden.encoder import encode_stream
+    from csc_tpu.props import write_properties
+    blob = write_properties(props) + encode_stream(props, data)
+    props2 = read_properties(blob[:10])
+    assert decode_stream_tpu(props2, blob, 10) == data
+
+
+def test_decode_reference_stream(ref_build, corpus_dir, tmp_path):
+    """TPU scan decodes reference-binary-produced streams."""
+    import subprocess
+    src = os.path.join(corpus_dir, "corpus_exe.bin")
+    with open(src, "rb") as f:
+        data = f.read(64 * 1024)
+    fin = tmp_path / "in.bin"
+    fout = tmp_path / "out.csc"
+    fin.write_bytes(data)
+    subprocess.run([os.path.join(ref_build, "csc"), "c", "-m2",
+                    str(fin), str(fout)], check=True, capture_output=True)
+    blob = fout.read_bytes()
+    props = read_properties(blob[:10])
+    assert decode_stream_tpu(props, blob, 10) == data
