@@ -21,7 +21,13 @@ from concurrent.futures import ProcessPoolExecutor, FIRST_COMPLETED, wait
 from ..props import props_init, read_properties, write_properties
 from ..golden.encoder import encode_stream
 from ..golden.api import decompress_stream
-from .adler32 import adler32
+from .adler32 import adler32 as _py_adler32
+try:
+    from .. import native as _native
+    adler32 = (_native.adler32 if _native.available()
+               else _py_adler32)
+except Exception:
+    adler32 = _py_adler32
 from .index import (FileEntry, Frag, ArchiveBlocks, pack_index,  # noqa: F401
                     write_trailer, check_header, read_trailer, HEADER_SIZE)
 
@@ -160,11 +166,10 @@ def _simulate_write_blocks(stream: bytes, csc_blocksize: int):
     return blocks
 
 
-def _compress_task(args):
-    """Worker: read the task's solid stream, compress, return stream +
-    per-file posblock/checksum (CompressionWorker::do_work,
-    csa_worker.cpp:23-56)."""
-    filelist, level, dict_size = args
+def _read_task(args):
+    """Read a task's files into the solid stream; compute posblock +
+    Adler32 per file (AsyncFileReader, csa_io.h:207-287)."""
+    (filelist,) = args
     datas = []
     results = []
     cumsize = 0
@@ -180,7 +185,15 @@ def _compress_task(args):
         results.append((len(data), cumsize, csum))
         cumsize += len(data)
         datas.append(data)
-    solid = b"".join(datas)
+    return b"".join(datas), results
+
+
+def _compress_task(args):
+    """Worker: read the task's solid stream, compress, return stream +
+    per-file posblock/checksum (CompressionWorker::do_work,
+    csa_worker.cpp:23-56)."""
+    filelist, level, dict_size = args
+    solid, results = _read_task((filelist,))
     props = props_init(min(dict_size, max(len(solid), 1)), level)
     stream = write_properties(props) + encode_stream(props, solid)
     return stream, results, props.csc_blocksize
@@ -362,7 +375,24 @@ class CSArc:
                                      posfile=fb.off))
             return arc_off
 
-        if self.mt_count <= 1:
+        if self.backend == "tpu" and tasks:
+            # one batched TPU encode over all tasks (per-stream golden
+            # fallback inside encode_batch for unsupported content)
+            from ..props import props_init, write_properties
+            from ..ops.pipeline import encode_batch
+            datas, allres, props_list = [], [], []
+            for t in tasks:
+                solid, results = _read_task((t.filelist,))
+                datas.append(solid)
+                allres.append(results)
+                props_list.append(props_init(
+                    min(self.dict_size, max(len(solid), 1)), self.level))
+            streams = encode_batch(props_list, datas)
+            for i, t in enumerate(tasks):
+                stream = (write_properties(props_list[i]) + streams[i])
+                arc_off = finish(i, stream, allres[i],
+                                 props_list[i].csc_blocksize, arc_off)
+        elif self.mt_count <= 1:
             for i, t in enumerate(tasks):
                 stream, results, bs = _compress_task(
                     (t.filelist, self.level, self.dict_size))

@@ -143,7 +143,10 @@ def make_decode_state(batch, wnd_size, rc, bc, rc_ends, bc_ends,
     *_ends: [B, NB] i32 padded with sentinel 0x7FFFFFFF."""
     st = {}
     st["probs"] = jnp.full((batch, NPROB), 2048, jnp.int32)
-    st["wnd"] = jnp.zeros((batch, wnd_size), jnp.uint8)
+    # +COPY_CHUNK slack: 16-wide copy writes ending exactly at
+    # wnd_size must not clip (duplicate clipped indices would
+    # overwrite the final byte with stale lanes)
+    st["wnd"] = jnp.zeros((batch, wnd_size + COPY_CHUNK), jnp.uint8)
     st["rc"] = jnp.asarray(rc)
     st["bc"] = jnp.asarray(bc)
     st["rc_ends"] = jnp.asarray(rc_ends)
@@ -264,10 +267,11 @@ def decode_step(st, wnd_size):
     chunk = jnp.minimum(st["cpy_rem"], COPY_CHUNK)
     safe_dist = jnp.maximum(st["dist"], 1)
     # overlap-safe: byte k of the chunk = wnd[cpy_src + (k mod dist)]
+    wnd_cap = wnd_size + COPY_CHUNK
     src_idx = st["cpy_src"][:, None] + (karange[None, :] % safe_dist[:, None])
-    src_idx = jnp.clip(src_idx, 0, wnd_size - 1)
+    src_idx = jnp.clip(src_idx, 0, wnd_cap - 1)
     src_bytes = jnp.take_along_axis(st["wnd"], src_idx, axis=1)
-    dst_idx = jnp.clip(st["wnd_pos"][:, None] + karange[None, :], 0, wnd_size - 1)
+    dst_idx = jnp.clip(st["wnd_pos"][:, None] + karange[None, :], 0, wnd_cap - 1)
     write_mask = is_mcopy[:, None] & (karange[None, :] < chunk[:, None])
 
     # ========================== transitions ==============================
@@ -656,10 +660,10 @@ def decode_step(st, wnd_size):
         [lit_write, ent_write, rle_write, run_write, bad_write],
         [lit_byte, ent_byte, rle_orig, run_orig, bad_b0],
         default=jnp.zeros_like(node)).astype(jnp.uint8)
-    one_pos = jnp.clip(one_pos, 0, wnd_size - 1)
+    one_pos = jnp.clip(one_pos, 0, wnd_cap - 1)
     wnd = wnd.at[barange, one_pos].set(
         jnp.where(one_mask, one_val, wnd[barange, one_pos]))
-    two_pos = jnp.clip(st["wnd_pos"] + 1, 0, wnd_size - 1)
+    two_pos = jnp.clip(st["wnd_pos"] + 1, 0, wnd_cap - 1)
     wnd = wnd.at[barange, two_pos].set(
         jnp.where(wrote2, bad_b1.astype(jnp.uint8), wnd[barange, two_pos]))
 
@@ -699,4 +703,4 @@ def run_decode(st, wnd_size, max_steps):
     return final, steps
 
 
-run_decode_jit = jax.jit(run_decode, static_argnums=(1, 2))
+run_decode_jit = jax.jit(run_decode, static_argnums=(1,))

@@ -1,0 +1,205 @@
+"""Host side of the batched TPU encoder: stream planning (analyzer/filters),
+token-tape assembly, MemIO remux with persistent-buffer flush semantics,
+and the end-of-stream chunk.
+
+The device phases (encode_scan/encode_bits) produce, per stream, a token
+tape and then logical RC/BC byte sequences plus final coder registers.
+This module reproduces the physical byte stream exactly as the reference
+would: tagged MemIO blocks in chronological write order (csc_memio.cpp:
+83-108), the Coder::Flush tail with its stale skipped byte
+(csc_coder.cpp:40-74), and the trailing SIG_EOF chunk
+(csc_enc.cpp:193-203).
+"""
+import numpy as np
+
+from ..constants import (DT_NORMAL, DT_EXE, DT_ENGTXT, DT_SKIP, DT_NO_LZ,
+                         DT_DLT, SIG_EOF, MIN_BLOCK_SIZE, DLT_INDEX)
+from ..golden import analyzer as g_analyzer
+from ..golden import filters as g_filters
+from .. import native as _native
+
+
+class PersistentCoder:
+    """Reproduces the write-side coder buffers + MemIO framing for one
+    stream, given the logical RC/BC byte sequences in chronological event
+    order.  The 64 KB buffers persist across chunk flushes (the flush
+    'skip' byte re-emits stale content, see golden/coder.py)."""
+
+    def __init__(self, bsize):
+        self.bsize = bsize
+        self.rc_buf = bytearray(bsize)
+        self.bc_buf = bytearray(bsize)
+        self.rc_size = 0
+        self.bc_size = 0
+        self.out = bytearray()
+
+    def _write_block(self, data, rc1bc0):
+        size = len(data)
+        fb = (rc1bc0 << 7) | ((1 << 6) if size == self.bsize else 0)
+        self.out.append(fb)
+        if size != self.bsize:
+            self.out += bytes([(size >> 16) & 0xFF, (size >> 8) & 0xFF,
+                               size & 0xFF])
+        self.out += data
+
+    def put_rc(self, b):
+        self.rc_buf[self.rc_size] = b
+        self.rc_size += 1
+        if self.rc_size == self.bsize:
+            self._write_block(bytes(self.rc_buf), 1)
+            self.rc_size = 0
+
+    def put_bc(self, b):
+        self.bc_buf[self.bc_size] = b
+        self.bc_size += 1
+        if self.bc_size == self.bsize:
+            self._write_block(bytes(self.bc_buf), 0)
+            self.bc_size = 0
+
+    def flush_chunk(self, low, lowhi, cache, cachesize, bc_val, bc_bits):
+        """Coder::Flush from the final registers of a chunk."""
+        # 5 ShiftLows
+        for _ in range(5):
+            if (low & 0xFFFFFFFF) < 0xFF000000 or lowhi:
+                temp = cache
+                while True:
+                    self.put_rc((temp + lowhi) & 0xFF)
+                    temp = 0xFF
+                    cachesize -= 1
+                    if cachesize == 0:
+                        break
+                cache = (low >> 24) & 0xFF
+            cachesize += 1
+            low = (low << 8) & 0xFFFFFFFF
+            lowhi = 0
+        # skipped byte: stale buffer content is kept
+        self.rc_size += 1
+        # bc: partial byte + one zero pad
+        self.put_bc((bc_val << (8 - bc_bits)) & 0xFF if bc_bits else 0)
+        self.put_bc(0)
+        self._write_block(bytes(self.rc_buf[:self.rc_size]), 1)
+        self._write_block(bytes(self.bc_buf[:self.bc_size]), 0)
+        self.rc_size = 0
+        self.bc_size = 0
+
+
+def remux_stream(bsize, rc_bytes, bc_bytes, rc_blkmap, bc_blkmap, regs):
+    """Merge the chunk's RC/BC byte sequences into the physical stream.
+
+    rc_blkmap[k] = bc_cnt at the moment rc byte (k+1)*bsize was emitted
+    (i.e. when the k-th full RC block was written); bc_blkmap likewise.
+    Block-write events are merged in chronological order via their
+    (rc_cnt, bc_cnt) vector timestamps; the remaining bytes feed the
+    chunk flush, then the SIG_EOF chunk is appended.
+    """
+    pc = PersistentCoder(bsize)
+    events = []
+    nrc_full = len(rc_bytes) // bsize
+    nbc_full = len(bc_bytes) // bsize
+    for k in range(nrc_full):
+        events.append(((k + 1) * bsize, int(rc_blkmap[k]), 0, k))
+    for j in range(nbc_full):
+        events.append((int(bc_blkmap[j]), (j + 1) * bsize, 1, j))
+    events.sort(key=lambda e: (e[0], e[1]))
+    rc_done = 0
+    bc_done = 0
+    for ev in events:
+        if ev[2] == 0:
+            for b in rc_bytes[rc_done:(ev[3] + 1) * bsize]:
+                pc.put_rc(b)
+            rc_done = (ev[3] + 1) * bsize
+        else:
+            for b in bc_bytes[bc_done:(ev[3] + 1) * bsize]:
+                pc.put_bc(b)
+            bc_done = (ev[3] + 1) * bsize
+    for b in rc_bytes[rc_done:]:
+        pc.put_rc(b)
+    for b in bc_bytes[bc_done:]:
+        pc.put_bc(b)
+    pc.flush_chunk(*regs)
+
+    # SIG_EOF chunk (WriteEOF + Flush): EncodeInt(9) on a fresh coder
+    # = 5 direct bits slot(3) + 3 direct bits (1) -> bc byte 0x19
+    # rc: 5 ShiftLows of a virgin coder -> five 0x00 bytes + skip
+    for _ in range(5):
+        pc.put_rc(0)
+    pc.rc_size += 1                   # flush skip byte (stale content)
+    pc.put_bc(0x19)                   # EncodeInt(9): 00011 001
+    pc.put_bc(0)                      # flush partial byte (bc_bits==0 -> 0)
+    pc.put_bc(0)                      # flush pad byte
+    pc._write_block(bytes(pc.rc_buf[:pc.rc_size]), 1)
+    pc._write_block(bytes(pc.bc_buf[:pc.bc_size]), 0)
+    pc.rc_size = 0
+    pc.bc_size = 0
+    return bytes(pc.out)
+
+
+def plan_stream(props, data):
+    """Analyzer pre-pass: produce the filtered LZ input + run table, or
+    None when the stream needs the golden path (non-LZ block types,
+    multi-chunk, optimal parser, BT finder).
+
+    Returns (lz_input: bytes, runs: [(type, filtered_len, declared_size)]).
+    Mirrors CSCEncoder::Compress (csc_encoder_main.cpp:85-146) for runs of
+    DT_NORMAL / DT_EXE / DT_ENGTXT.
+    """
+    size = len(data)
+    if size == 0 or size > props.raw_blocksize:
+        return None
+    if props.lz_mode not in (1, 2) or props.bt_size:
+        return None
+    use_filters = (props.DLTFilter + props.EXEFilter + props.TXTFilter) > 0
+
+    # 8KB typing walk
+    types = []
+    i = 0
+    while i < size:
+        cur = min(MIN_BLOCK_SIZE, size - i)
+        if use_filters:
+            t, bpb = _native.analyze(data[i:i + cur])
+        else:
+            t, bpb = DT_NORMAL, 0
+        if t == DT_SKIP:
+            t = types[-1][0] if types else DT_NORMAL
+        if t != DT_NORMAL:
+            if t == DT_EXE and props.EXEFilter == 0:
+                t = DT_NORMAL
+            elif t == DT_ENGTXT and props.TXTFilter == 0:
+                t = DT_NORMAL
+            elif t >= DT_DLT and props.DLTFilter == 0:
+                t = DT_NORMAL
+        if t >= DT_NO_LZ or (DT_DLT <= t < DT_DLT + 5):
+            return None        # BAD/ENTROPY/DLT need mf-skip mode: fallback
+        types.append((t, i, cur))
+        i += cur
+
+    # merge runs (same type, <= raw_blocksize)
+    runs = []
+    last_t, last_begin, last_size = DT_NORMAL, 0, 0
+    for t, off, cur in types:
+        if (last_size and (t != last_t or last_size + cur > props.raw_blocksize)):
+            runs.append((last_t, last_begin, last_size))
+            last_begin = off
+            last_size = 0
+        last_t = t
+        last_size += cur
+    if last_size:
+        runs.append((last_t, last_begin, last_size))
+
+    # apply forward filters per run (compress_block, csc_encoder_main.cpp:35-59)
+    lz_parts = []
+    run_table = []
+    for t, off, rsize in runs:
+        seg = bytearray(data[off:off + rsize])
+        if t == DT_EXE:
+            _native.e89_forward(seg)
+            run_table.append((DT_EXE, rsize, -1))
+        elif t == DT_ENGTXT:
+            if g_filters.forward_dict(seg, rsize):
+                run_table.append((DT_ENGTXT, rsize, rsize))
+            else:
+                run_table.append((DT_NORMAL, rsize, -1))
+        else:
+            run_table.append((DT_NORMAL, rsize, -1))
+        lz_parts.append(bytes(seg))
+    return b"".join(lz_parts), run_table

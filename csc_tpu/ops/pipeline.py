@@ -5,6 +5,15 @@ LIST of independent streams and run them in lockstep on the device.
 import numpy as np
 import jax.numpy as jnp
 
+
+def _bucket(n, lo=4096):
+    """Round up to a power of two (>= lo) so jit compilations are shared
+    across similarly-sized batches."""
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
 from ..constants import DT_EXE, DT_ENGTXT, SIG_EOF
 from ..golden import filters
 from . import framing
@@ -37,17 +46,14 @@ def decode_batch(props_list, blobs, positions=None, out_sizes=None,
     bc = framing.batch_pad(bcs, 0, np.uint8)
     rc_ends = framing.pad_ends(rce)
     bc_ends = framing.pad_ends(bce)
-    # pad rc so priming reads bytes 1..4 safely
-    if rc.shape[1] < 8:
-        rc = np.pad(rc, ((0, 0), (0, 8 - rc.shape[1])))
-    if bc.shape[1] < 8:
-        bc = np.pad(bc, ((0, 0), (0, 8 - bc.shape[1])))
+    rc = np.pad(rc, ((0, 0), (0, _bucket(rc.shape[1] + 8) - rc.shape[1])))
+    bc = np.pad(bc, ((0, 0), (0, _bucket(bc.shape[1] + 8) - bc.shape[1])))
 
     wnd_size = max(p.dict_size for p in props_list)
     if out_sizes is not None:
         # tight window: big enough for every stream's output
         wnd_size = min(wnd_size, max(max(out_sizes), 1024))
-    wnd_size = int(wnd_size)
+    wnd_size = _bucket(int(wnd_size))
 
     if max_steps is None:
         # worst case ~ (bits + copy steps); direct-coded BAD data moves
@@ -56,7 +62,7 @@ def decode_batch(props_list, blobs, positions=None, out_sizes=None,
                         + 2 * wnd_size)
 
     st = make_decode_state(b, wnd_size, rc, bc, rc_ends, bc_ends)
-    final, steps = run_decode_jit(st, wnd_size, max_steps)
+    final, steps = run_decode_jit(st, wnd_size, jnp.int32(max_steps))
 
     wnd = np.asarray(final["wnd"])
     blk_log = np.asarray(final["blk_log"])
@@ -93,8 +99,160 @@ def decode_stream_tpu(props, blob, pos=0):
     return decode_batch([props], [blob], [pos])[0]
 
 
+def encode_batch(props_list, datas):
+    """Encode B independent streams on the device (m1/m2 path).
+
+    Per-stream fallback to golden when the planner rejects a stream
+    (non-LZ block types, multi-chunk, optimal parser, BT finder, or a
+    preset differing from the batch).  Returns list[bytes] physical
+    streams (no property header).
+    """
+    import jax
+    from ..golden.encoder import encode_stream as golden_encode
+    from . import encode_host
+    from .encode_scan import (make_encode_state, run_parse, K_END, K_SENT_A,
+                              K_LIT, K_MATCH, K_REP, K_REP0L1)
+    from .encode_bits import (make_bits_state, run_bits, K_INT, K_SENT,
+                              BSIZE_REF)
+    from ..constants import DT_ENGTXT
+
+    b = len(datas)
+    plans = []
+    for props, data in zip(props_list, datas):
+        if props.csc_blocksize != 65536:
+            plans.append(None)
+            continue
+        plans.append(encode_host.plan_stream(props, data))
+    idxs = [i for i, pl in enumerate(plans) if pl is not None]
+    outs = [None] * b
+
+    # preset uniformity: group by (hash_bits, hash_width, good_len, lz_mode)
+    if idxs:
+        key0 = None
+        grouped = []
+        for i in idxs:
+            p = props_list[i]
+            k = (p.hash_bits, p.hash_width, p.good_len, p.lz_mode)
+            if key0 is None:
+                key0 = k
+            if k == key0:
+                grouped.append(i)
+            # others fall back (rare: mixed presets in one batch)
+        idxs = grouped
+
+    for i in range(b):
+        if i not in idxs:
+            outs[i] = golden_encode(props_list[i], datas[i])
+    if not idxs:
+        return outs
+
+    lz_inputs = [plans[i][0] for i in idxs]
+    run_tables = [plans[i][1] for i in idxs]
+    sizes = [len(x) for x in lz_inputs]
+    n = _bucket(max(sizes) + 16)
+    bb = len(idxs)
+    data_arr = np.zeros((bb, n), np.uint8)
+    for j, x in enumerate(lz_inputs):
+        data_arr[j, :len(x)] = np.frombuffer(x, np.uint8)
+    dict_sizes = [props_list[i].dict_size for i in idxs]
+    maxrun = _bucket(max(len(rt) for rt in run_tables), 8)
+    run_ends = np.zeros((bb, maxrun), np.int32)
+    for j, rt in enumerate(run_tables):
+        acc = 0
+        for k, (_, rsize, _) in enumerate(rt):
+            acc += rsize
+            run_ends[j, k] = acc
+        run_ends[j, len(rt):] = acc
+    p0 = props_list[idxs[0]]
+    max_tokens = n + 2 * maxrun + 8
+    st, cfg = make_encode_state(bb, data_arr, sizes, dict_sizes,
+                                p0.hash_bits, p0.hash_width, p0.good_len,
+                                p0.lz_mode == 2, max_tokens,
+                                run_ends=run_ends)
+    fparse = jax.jit(run_parse, static_argnames=())
+    # cfg is a dict of python ints: hash via tuple for jit staticness
+    final, steps = jax.jit(
+        lambda s, ms: run_parse(s, cfg, ms))(st, jnp.int32(64 * n + 4096))
+    tk = np.asarray(final["tok_kind"])
+    ta = np.asarray(final["tok_a"])
+    tb = np.asarray(final["tok_b"])
+    tcx = np.asarray(final["tok_c"])
+    tc = np.asarray(final["tok_cnt"])
+    if not np.asarray(final["done"]).all():
+        raise RuntimeError("encode parse scan hit step cap")
+
+    # ---- host tape stitching: wrap runs with EncodeInt tokens ----------
+    tapes = []
+    for j, rt in enumerate(run_tables):
+        kinds, aas, bbs, ccs = [], [], [], []
+
+        def put(k_, a_=0, b_=0, c_=0):
+            kinds.append(int(k_)); aas.append(int(a_))
+            bbs.append(int(b_)); ccs.append(int(c_))
+
+        toks = list(zip(tk[j, :tc[j]], ta[j, :tc[j]], tb[j, :tc[j]],
+                        tcx[j, :tc[j]]))
+        run_i = 0
+        put(K_INT, rt[0][0])
+        if rt[0][0] == DT_ENGTXT:
+            put(K_INT, rt[0][2])
+        for kk, av, bv, cv in toks:
+            if kk == K_SENT_A:
+                put(K_SENT, 64, 0)
+                last = run_i == len(rt) - 1
+                put(K_INT, 1 if last else 0)
+                run_i += 1
+                if not last:
+                    put(K_INT, rt[run_i][0])
+                    if rt[run_i][0] == DT_ENGTXT:
+                        put(K_INT, rt[run_i][2])
+            elif kk == K_END:
+                put(K_END)
+            else:
+                put(kk, av, bv, cv)
+        tapes.append((kinds, aas, bbs, ccs))
+
+    tlen = _bucket(max(len(t[0]) for t in tapes), 1024)
+    tkk = np.zeros((bb, tlen), np.int32)
+    taa = np.zeros((bb, tlen), np.int32)
+    tbb = np.zeros((bb, tlen), np.int32)
+    tcc = np.zeros((bb, tlen), np.int32)
+    tkk[:, :] = K_END
+    for j, (kinds, aas, bbs, ccs) in enumerate(tapes):
+        tkk[j, :len(kinds)] = kinds
+        taa[j, :len(aas)] = aas
+        tbb[j, :len(bbs)] = bbs
+        tcc[j, :len(ccs)] = ccs
+
+    max_rc = n + n // 2 + 256
+    max_bc = n // 2 + 256
+    BSIZE_REF[0] = 65536
+    bst = make_bits_state(bb, tkk, taa, tbb, tcc, max_rc, max_bc)
+    bfinal, bsteps = jax.jit(run_bits)(bst, jnp.int32(24 * n + 65536))
+    if not np.asarray(bfinal["done"]).all():
+        raise RuntimeError("encode bits scan hit step cap")
+    rc_out = np.asarray(bfinal["rc_out"])
+    bc_out = np.asarray(bfinal["bc_out"])
+    rc_cnt = np.asarray(bfinal["rc_cnt"])
+    bc_cnt = np.asarray(bfinal["bc_cnt"])
+    rc_map = np.asarray(bfinal["rc_blkmap"])
+    bc_map = np.asarray(bfinal["bc_blkmap"])
+    lows = np.asarray(bfinal["low"].astype(jnp.uint32))
+    lowhis = np.asarray(bfinal["lowhi"])
+    caches = np.asarray(bfinal["cache"])
+    csizes = np.asarray(bfinal["cachesize"])
+    bvals = np.asarray(bfinal["bc_val"].astype(jnp.uint32))
+    bbits = np.asarray(bfinal["bc_bits"])
+
+    for j, i in enumerate(idxs):
+        regs = (int(lows[j]), int(lowhis[j]), int(caches[j]),
+                int(csizes[j]), int(bvals[j]), int(bbits[j]))
+        outs[i] = encode_host.remux_stream(
+            65536, bytes(rc_out[j, :rc_cnt[j]]), bytes(bc_out[j, :bc_cnt[j]]),
+            rc_map[j], bc_map[j], regs)
+    return outs
+
+
 def encode_stream_tpu(props, data):
-    """Batched encoder: not yet wired for single streams; see encode_scan."""
-    raise NotImplementedError(
-        "TPU encode path lands via csc_tpu.ops.encode_scan; "
-        "use backend=golden meanwhile")
+    """Single-stream encode through the batched path (B=1)."""
+    return encode_batch([props], [data])[0]

@@ -10,8 +10,24 @@ os.environ.setdefault(
     "XLA_FLAGS",
     (os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8").strip(),
 )
+# persistent XLA compile cache: the scan kernels take minutes to compile
+os.environ["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jaxcache-cpu"
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# The axon environment routes compiles through a remote service targeting
+# the TPU host's CPU (avx512); executing those artifacts here miscomputes
+# silently.  Always compile locally for CPU tests.
+os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# sitecustomize (axon plugin) imports jax at interpreter start, snapshotting
+# JAX_PLATFORMS=axon before this file runs; the env override above is then
+# ignored.  Force the platform via config (works while backends are
+# uninitialized).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache-cpu")
 
 import pytest  # noqa: E402
 

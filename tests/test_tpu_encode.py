@@ -1,0 +1,76 @@
+"""Batched TPU encoder vs golden: byte-identical streams (m1/m2 path)."""
+import os
+
+import pytest
+
+from csc_tpu.props import props_init
+from csc_tpu.golden.encoder import encode_stream
+from csc_tpu.ops.pipeline import encode_batch, encode_stream_tpu
+
+
+def _props(data, level, filters=True):
+    p = props_init(len(data), level)
+    if not filters:
+        p.DLTFilter = p.EXEFilter = p.TXTFilter = 0
+    return p
+
+
+CASES = [
+    ("corpus_text1m.bin", 16 * 1024, 1, False),
+    ("corpus_text1m.bin", 16 * 1024, 2, False),
+    ("corpus_text1m.bin", 24 * 1024, 1, True),    # ENGTXT path
+    ("corpus_exe.bin", 24 * 1024, 1, True),       # EXE path
+    ("corpus_exe.bin", 32 * 1024, 2, False),
+    ("corpus_text1m.bin", 40 * 1024, 2, True),    # multi-sub-block
+]
+
+
+@pytest.mark.parametrize("fname,size,level,filters", CASES)
+def test_encode_byte_identical(corpus_dir, fname, size, level, filters):
+    with open(os.path.join(corpus_dir, fname), "rb") as f:
+        data = f.read(size)
+    props = _props(data, level, filters)
+    want = encode_stream(props, data)
+    got = encode_stream_tpu(props, data)
+    assert got == want
+
+
+def test_encode_batch_mixed(corpus_dir):
+    datas = []
+    for fname, size in [("corpus_text1m.bin", 12 * 1024),
+                        ("corpus_exe.bin", 12 * 1024),
+                        ("corpus_text.bin", 20 * 1024)]:
+        with open(os.path.join(corpus_dir, fname), "rb") as f:
+            datas.append(f.read(size))
+    props = [_props(d, 1, True) for d in datas]
+    wants = [encode_stream(p, d) for p, d in zip(props, datas)]
+    gots = encode_batch(props, datas)
+    for w, g in zip(wants, gots):
+        assert g == w
+
+
+def test_encode_fallback_random(corpus_dir):
+    """High-entropy data analyzes to DT_BAD -> planner rejects -> golden
+    fallback, still byte-identical by construction."""
+    with open(os.path.join(corpus_dir, "corpus_random.bin"), "rb") as f:
+        data = f.read(16 * 1024)
+    props = _props(data, 1, True)
+    want = encode_stream(props, data)
+    got = encode_stream_tpu(props, data)
+    assert got == want
+
+
+def test_encode_reference_decodes(ref_build, corpus_dir, tmp_path):
+    """Reference decomp binary decodes a TPU-encoded stream."""
+    import subprocess
+    from csc_tpu.props import write_properties
+    with open(os.path.join(corpus_dir, "corpus_text1m.bin"), "rb") as f:
+        data = f.read(20 * 1024)
+    props = _props(data, 2, True)
+    blob = write_properties(props) + encode_stream_tpu(props, data)
+    fin = tmp_path / "t.csc"
+    fout = tmp_path / "t.out"
+    fin.write_bytes(blob)
+    subprocess.run([os.path.join(ref_build, "decomp"), str(fin), str(fout)],
+                   check=True, capture_output=True)
+    assert fout.read_bytes() == data
