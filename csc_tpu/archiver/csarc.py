@@ -493,7 +493,10 @@ class CSArc:
                        for t in tasks]
 
         failures = []
-        use_tpu = self.backend == "tpu" and tasks
+        import os as _os
+        max_tpu = int(_os.environ.get("CSC_TPU_MAX_DECODE", 4 * MB))
+        use_tpu = (self.backend == "tpu" and tasks
+                   and max(t.total_size for t in tasks) <= max_tpu)
         if use_tpu:
             try:
                 from ..ops.pipeline import decode_batch

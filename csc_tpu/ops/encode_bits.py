@@ -32,12 +32,14 @@ B_DISTSLOT = 8
 B_DISTEXTRA = 9
 B_DISTDIRECT = 10
 B_INT = 11
+B_FLUSH = 12      # 5 ShiftLows + bc pads, then coder reset
 
 _DIST_TABLE = np.array(DIST_TABLE, np.int64)
 _REV16 = np.array(REV16_TABLE, np.int32)
 
 K_INT = 10        # host token: EncodeInt(tok_a)
 K_SENT = 11       # host token: EncodeMatch(64, 0) block sentinel
+K_FLUSH = 12      # host token: Coder::Flush chunk boundary
 
 _BIT_STATES = (B_FLAG, B_LITTREE, B_REPTREE, B_LENSLOT, B_LENTREE,
                B_LONGLEN, B_DISTSLOT, B_DISTEXTRA)
@@ -105,6 +107,10 @@ def make_bits_state(batch, tok_kind, tok_a, tok_b, tok_c, max_rc, max_bc,
     st["dir_val"] = z
     st["dir_rem"] = z
     st["after_len"] = z
+    st["flush_i"] = z
+    # per-chunk log: (rc_cnt, bc_cnt) after each chunk's flush bytes
+    st["chunk_log"] = jnp.zeros((batch, 64, 2), jnp.int32)
+    st["chunk_cnt"] = z
     st["done"] = z
     return st
 
@@ -447,6 +453,65 @@ def encode_bits_step(st):
     new["bc_val"], new["bc_bits"] = bcv, bcb
     new["bc_out"], new["bc_cnt"] = bc_out, bc_cnt
 
+    # ---------------- B_FLUSH: chunk flush (csc_coder.cpp:40-74) ---------
+    # flush_i 0..4: ShiftLows; 5: bc partial+pad bytes, log chunk, reset.
+    c = active & (fsm == B_FLUSH)
+    fstep = c & (st["flush_i"] < 5)
+    ftrig = fstep & ((st["low"] < jnp.uint32(0xFF000000)) | (st["lowhi"] != 0))
+    fcarry = jnp.where(ftrig, st["lowhi"], 0)
+    fbyte = (st["cache"] + fcarry) & 0xFF
+    new["rc_out"] = _scatter1(new["rc_out"],
+                              jnp.clip(new["rc_cnt"], 0,
+                                       st["rc_out"].shape[1] - 1),
+                              fbyte.astype(jnp.uint8), ftrig)
+    new["rc_cnt"] = jnp.where(ftrig, new["rc_cnt"] + 1, new["rc_cnt"])
+    new["rc_blkmap"] = _log_cross(new["rc_blkmap"], new["rc_cnt"],
+                                  new["bc_cnt"], ftrig, BSIZE_REF[0])
+    frun = ftrig & (st["cachesize"] > 1)
+    upd("pending", frun, st["cachesize"] - 1)
+    upd("pend_carry", frun, fcarry)
+    upd("cache", ftrig, ((st["low"] >> 24) & 0xFF).astype(jnp.int32))
+    fcs = jnp.where(ftrig, 0, st["cachesize"])
+    upd("cachesize", fstep, fcs + 1)
+    upd("low", fstep, st["low"] << 8)
+    upd("lowhi", fstep, 0)
+    upd("flush_i", fstep, st["flush_i"] + 1)
+
+    fdone = c & (st["flush_i"] >= 5)
+    # bc partial byte + zero pad
+    pb1 = jnp.where(st["bc_bits"] > 0,
+                    (st["bc_val"] << (8 - jnp.clip(st["bc_bits"], 0, 8))
+                     .astype(jnp.uint32)).astype(jnp.int32) & 0xFF,
+                    0)
+    bco, bcc = new["bc_out"], new["bc_cnt"]
+    bco = _scatter1(bco, jnp.clip(bcc, 0, bco.shape[1] - 1),
+                    pb1.astype(jnp.uint8), fdone)
+    bcc = jnp.where(fdone, bcc + 1, bcc)
+    new["bc_blkmap"] = _log_cross(new["bc_blkmap"], bcc, new["rc_cnt"],
+                                  fdone, BSIZE_REF[0])
+    bco = _scatter1(bco, jnp.clip(bcc, 0, bco.shape[1] - 1),
+                    jnp.zeros_like(pb1).astype(jnp.uint8), fdone)
+    bcc = jnp.where(fdone, bcc + 1, bcc)
+    new["bc_blkmap"] = _log_cross(new["bc_blkmap"], bcc, new["rc_cnt"],
+                                  fdone, BSIZE_REF[0])
+    new["bc_out"], new["bc_cnt"] = bco, bcc
+    # chunk log entry
+    clog = jnp.minimum(st["chunk_cnt"], st["chunk_log"].shape[1] - 1)
+    entry = jnp.stack([new["rc_cnt"], bcc], axis=-1)
+    old = st["chunk_log"][jnp.arange(B), clog]
+    new["chunk_log"] = st["chunk_log"].at[jnp.arange(B), clog].set(
+        jnp.where(fdone[:, None], entry, old))
+    upd("chunk_cnt", fdone, st["chunk_cnt"] + 1)
+    # coder reset (probabilities persist, csc_encoder_main.cpp:141-145)
+    upd("low", fdone, jnp.uint32(0))
+    upd("lowhi", fdone, 0)
+    new["range"] = jnp.where(fdone, jnp.uint32(0xFFFFFFFF), new["range"])
+    upd("cache", fdone, 0)
+    upd("cachesize", fdone, 1)
+    new["bc_val"] = jnp.where(fdone, jnp.uint32(0), new["bc_val"])
+    new["bc_bits"] = jnp.where(fdone, 0, new["bc_bits"])
+    upd("fsm", fdone, B_NEXT)
+
     # ---------------- B_NEXT: fetch token --------------------------------
     c = active & (fsm == B_NEXT)
     ti = jnp.clip(st["tok_i"], 0, st["tok_kind"].shape[1] - 1)
@@ -466,7 +531,10 @@ def encode_bits_step(st):
     is_int = c & (k == K_INT)
     upd("fsm", is_int, B_INT)
     upd("sub_i", is_int, 0)
-    is_tok = c & (k != K_END) & (k != K_INT)
+    is_fl = c & (k == K_FLUSH)
+    upd("fsm", is_fl, B_FLUSH)
+    upd("flush_i", is_fl, 0)
+    is_tok = c & (k != K_END) & (k != K_INT) & (k != K_FLUSH)
     upd("fsm", is_tok, B_FLAG)
 
     # ---------------- carry-run drain ------------------------------------

@@ -10,6 +10,8 @@ would: tagged MemIO blocks in chronological write order (csc_memio.cpp:
 (csc_coder.cpp:40-74), and the trailing SIG_EOF chunk
 (csc_enc.cpp:193-203).
 """
+import os
+
 import numpy as np
 
 from ..constants import (DT_NORMAL, DT_EXE, DT_ENGTXT, DT_SKIP, DT_NO_LZ,
@@ -83,14 +85,22 @@ class PersistentCoder:
         self.bc_size = 0
 
 
-def remux_stream(bsize, rc_bytes, bc_bytes, rc_blkmap, bc_blkmap, regs):
-    """Merge the chunk's RC/BC byte sequences into the physical stream.
+def remux_stream(bsize, rc_bytes, bc_bytes, rc_blkmap, bc_blkmap, regs=None,
+                 chunk_ends=None):
+    """Merge the RC/BC byte sequences into the physical stream.
 
     rc_blkmap[k] = bc_cnt at the moment rc byte (k+1)*bsize was emitted
     (i.e. when the k-th full RC block was written); bc_blkmap likewise.
     Block-write events are merged in chronological order via their
-    (rc_cnt, bc_cnt) vector timestamps; the remaining bytes feed the
-    chunk flush, then the SIG_EOF chunk is appended.
+    (rc_cnt, bc_cnt) vector timestamps.
+
+    Two flush conventions:
+    * regs given (single chunk): remaining bytes feed Coder::Flush computed
+      from the final registers.
+    * chunk_ends given (multi-chunk): the scan already emitted each chunk's
+      flush bytes (B_FLUSH); at each (rc_end, bc_end) boundary we add the
+      skipped stale byte and write the partial blocks.
+    The SIG_EOF chunk is appended either way (csc_enc.cpp:193-203).
     """
     pc = PersistentCoder(bsize)
     events = []
@@ -100,6 +110,9 @@ def remux_stream(bsize, rc_bytes, bc_bytes, rc_blkmap, bc_blkmap, regs):
         events.append(((k + 1) * bsize, int(rc_blkmap[k]), 0, k))
     for j in range(nbc_full):
         events.append((int(bc_blkmap[j]), (j + 1) * bsize, 1, j))
+    if chunk_ends:
+        for ci, (rce, bce) in enumerate(chunk_ends):
+            events.append((rce, bce, 2, ci))
     events.sort(key=lambda e: (e[0], e[1]))
     rc_done = 0
     bc_done = 0
@@ -108,15 +121,29 @@ def remux_stream(bsize, rc_bytes, bc_bytes, rc_blkmap, bc_blkmap, regs):
             for b in rc_bytes[rc_done:(ev[3] + 1) * bsize]:
                 pc.put_rc(b)
             rc_done = (ev[3] + 1) * bsize
-        else:
+        elif ev[2] == 1:
             for b in bc_bytes[bc_done:(ev[3] + 1) * bsize]:
                 pc.put_bc(b)
             bc_done = (ev[3] + 1) * bsize
+        else:
+            # chunk boundary: drain to (rce, bce), skip byte, write blocks
+            for b in rc_bytes[rc_done:ev[0]]:
+                pc.put_rc(b)
+            rc_done = ev[0]
+            for b in bc_bytes[bc_done:ev[1]]:
+                pc.put_bc(b)
+            bc_done = ev[1]
+            pc.rc_size += 1            # flush skip byte (stale content)
+            pc._write_block(bytes(pc.rc_buf[:pc.rc_size]), 1)
+            pc._write_block(bytes(pc.bc_buf[:pc.bc_size]), 0)
+            pc.rc_size = 0
+            pc.bc_size = 0
     for b in rc_bytes[rc_done:]:
         pc.put_rc(b)
     for b in bc_bytes[bc_done:]:
         pc.put_bc(b)
-    pc.flush_chunk(*regs)
+    if regs is not None:
+        pc.flush_chunk(*regs)
 
     # SIG_EOF chunk (WriteEOF + Flush): EncodeInt(9) on a fresh coder
     # = 5 direct bits slot(3) + 3 direct bits (1) -> bc byte 0x19
@@ -144,62 +171,72 @@ def plan_stream(props, data):
     DT_NORMAL / DT_EXE / DT_ENGTXT.
     """
     size = len(data)
-    if size == 0 or size > props.raw_blocksize:
+    if size == 0:
+        return None
+    # round-1 guard: very large per-stream scans can trip the TPU worker
+    # watchdog (see ARCHITECTURE.md roadmap); larger streams use golden
+    if size > int(os.environ.get("CSC_TPU_MAX_ENCODE", 256 * 1024)):
         return None
     if props.lz_mode not in (1, 2) or props.bt_size:
         return None
     use_filters = (props.DLTFilter + props.EXEFilter + props.TXTFilter) > 0
 
-    # 8KB typing walk
-    types = []
-    i = 0
-    while i < size:
-        cur = min(MIN_BLOCK_SIZE, size - i)
-        if use_filters:
-            t, bpb = _native.analyze(data[i:i + cur])
-        else:
-            t, bpb = DT_NORMAL, 0
-        if t == DT_SKIP:
-            t = types[-1][0] if types else DT_NORMAL
-        if t != DT_NORMAL:
-            if t == DT_EXE and props.EXEFilter == 0:
-                t = DT_NORMAL
-            elif t == DT_ENGTXT and props.TXTFilter == 0:
-                t = DT_NORMAL
-            elif t >= DT_DLT and props.DLTFilter == 0:
-                t = DT_NORMAL
-        if t >= DT_NO_LZ or (DT_DLT <= t < DT_DLT + 5):
-            return None        # BAD/ENTROPY/DLT need mf-skip mode: fallback
-        types.append((t, i, cur))
-        i += cur
-
-    # merge runs (same type, <= raw_blocksize)
-    runs = []
-    last_t, last_begin, last_size = DT_NORMAL, 0, 0
-    for t, off, cur in types:
-        if (last_size and (t != last_t or last_size + cur > props.raw_blocksize)):
-            runs.append((last_t, last_begin, last_size))
-            last_begin = off
-            last_size = 0
-        last_t = t
-        last_size += cur
-    if last_size:
-        runs.append((last_t, last_begin, last_size))
-
-    # apply forward filters per run (compress_block, csc_encoder_main.cpp:35-59)
     lz_parts = []
-    run_table = []
-    for t, off, rsize in runs:
-        seg = bytearray(data[off:off + rsize])
-        if t == DT_EXE:
-            _native.e89_forward(seg)
-            run_table.append((DT_EXE, rsize, -1))
-        elif t == DT_ENGTXT:
-            if g_filters.forward_dict(seg, rsize):
-                run_table.append((DT_ENGTXT, rsize, rsize))
+    run_table = []   # (type, filtered_len, declared_size, chunk_last)
+    for coff in range(0, size, props.raw_blocksize):
+        chunk = data[coff:coff + props.raw_blocksize]
+        csize = len(chunk)
+
+        # 8KB typing walk (CSCEncoder::Compress, csc_encoder_main.cpp:95-127)
+        types = []
+        i = 0
+        while i < csize:
+            cur = min(MIN_BLOCK_SIZE, csize - i)
+            if use_filters:
+                t, bpb = _native.analyze(chunk[i:i + cur])
             else:
-                run_table.append((DT_NORMAL, rsize, -1))
-        else:
-            run_table.append((DT_NORMAL, rsize, -1))
-        lz_parts.append(bytes(seg))
+                t, bpb = DT_NORMAL, 0
+            if t == DT_SKIP:
+                t = types[-1][0] if types else DT_NORMAL
+            if t != DT_NORMAL:
+                if t == DT_EXE and props.EXEFilter == 0:
+                    t = DT_NORMAL
+                elif t == DT_ENGTXT and props.TXTFilter == 0:
+                    t = DT_NORMAL
+                elif t >= DT_DLT and props.DLTFilter == 0:
+                    t = DT_NORMAL
+            if t >= DT_NO_LZ or (DT_DLT <= t < DT_DLT + 5):
+                return None    # BAD/ENTROPY/DLT need mf-skip mode: fallback
+            types.append((t, i, cur))
+            i += cur
+
+        # merge runs (same type, <= raw_blocksize)
+        runs = []
+        last_t, last_begin, last_size = DT_NORMAL, 0, 0
+        for t, off, cur in types:
+            if (last_size and (t != last_t
+                               or last_size + cur > props.raw_blocksize)):
+                runs.append((last_t, last_begin, last_size))
+                last_begin = off
+                last_size = 0
+            last_t = t
+            last_size += cur
+        if last_size:
+            runs.append((last_t, last_begin, last_size))
+
+        # forward filters per run (compress_block, csc_encoder_main.cpp:35-59)
+        for k, (t, off, rsize) in enumerate(runs):
+            seg = bytearray(chunk[off:off + rsize])
+            chunk_last = k == len(runs) - 1
+            if t == DT_EXE:
+                _native.e89_forward(seg)
+                run_table.append((DT_EXE, rsize, -1, chunk_last))
+            elif t == DT_ENGTXT:
+                if g_filters.forward_dict(seg, rsize):
+                    run_table.append((DT_ENGTXT, rsize, rsize, chunk_last))
+                else:
+                    run_table.append((DT_NORMAL, rsize, -1, chunk_last))
+            else:
+                run_table.append((DT_NORMAL, rsize, -1, chunk_last))
+            lz_parts.append(bytes(seg))
     return b"".join(lz_parts), run_table

@@ -156,6 +156,26 @@ def _scatter1(tbl, idx, val, mask):
         jnp.where(mask, val, cur))
 
 
+
+def _mask_lookahead(v2, v4, v2b, rem):
+    """Zero hash-lookahead bytes at/after the current 8KB sub-block end:
+    the reference window holds only sub-blocks copied so far
+    (EncodeNormal, csc_lz.cpp:63-67), so HASH2/3/6 reads past the boundary
+    see the zeroed window, not future input."""
+    m4 = jnp.select([rem >= 4, rem == 3, rem == 2, rem == 1],
+                    [jnp.uint32(0xFFFFFFFF), jnp.uint32(0x00FFFFFF),
+                     jnp.uint32(0x0000FFFF), jnp.uint32(0x000000FF)],
+                    default=jnp.uint32(0))
+    rem2 = rem - 4
+    m2b = jnp.select([rem2 >= 2, rem2 == 1],
+                     [jnp.uint32(0xFFFF), jnp.uint32(0xFF)],
+                     default=jnp.uint32(0))
+    m2 = jnp.select([rem >= 2, rem == 1],
+                    [jnp.uint32(0xFFFF), jnp.uint32(0xFF)],
+                    default=jnp.uint32(0))
+    return v2 & m2, v4 & m4, v2b & m2b
+
+
 def encode_parse_step(st, cfg):
     """One lockstep micro-op of phase A."""
     B = st["fsm"].shape[0]
@@ -224,6 +244,8 @@ def encode_parse_step(st, cfg):
     v2 = _gather(in2, ppos)
     v4 = _gather(in4, ppos)
     v2b = _gather(in2, ppos + 4)
+    v2, v4, v2b = _mask_lookahead(v2, v4, v2b,
+                                  st["blk_off"] + st["blk_len"] - ppos)
     h2 = ((v2 * 65521) & 0x3FFF).astype(jnp.int32)
     b0 = v2 & 0xFF
     b1 = (v2 >> 8) & 0xFF
@@ -456,6 +478,8 @@ def encode_parse_step(st, cfg):
     v2 = _gather(in2, jnp.clip(ipos, 0, in2.shape[1] - 1))
     v4 = _gather(in4, jnp.clip(ipos, 0, in4.shape[1] - 1))
     v2b = _gather(in2, jnp.clip(ipos + 4, 0, in2.shape[1] - 1))
+    v2, v4, v2b = _mask_lookahead(v2, v4, v2b,
+                                  st["blk_off"] + st["blk_len"] - ipos)
     h2 = ((v2 * 65521) & 0x3FFF).astype(jnp.int32)
     b0 = v2 & 0xFF
     b1 = (v2 >> 8) & 0xFF

@@ -62,7 +62,18 @@ def decode_batch(props_list, blobs, positions=None, out_sizes=None,
                         + 2 * wnd_size)
 
     st = make_decode_state(b, wnd_size, rc, bc, rc_ends, bc_ends)
-    final, steps = run_decode_jit(st, wnd_size, jnp.int32(max_steps))
+    # segment the device loop: very long uninterrupted while-loops can trip
+    # the TPU worker watchdog; state stays on device between segments
+    final, steps = st, 0
+    SEG = 400_000
+    remaining = max_steps
+    while remaining > 0:
+        final, seg_steps = run_decode_jit(final, wnd_size,
+                                          jnp.int32(min(SEG, remaining)))
+        steps += int(seg_steps)
+        remaining -= int(seg_steps)
+        if bool(np.asarray(jnp.all(final["done"] == 1))):
+            break
 
     wnd = np.asarray(final["wnd"])
     blk_log = np.asarray(final["blk_log"])
@@ -113,7 +124,7 @@ def encode_batch(props_list, datas):
     from .encode_scan import (make_encode_state, run_parse, K_END, K_SENT_A,
                               K_LIT, K_MATCH, K_REP, K_REP0L1)
     from .encode_bits import (make_bits_state, run_bits, K_INT, K_SENT,
-                              BSIZE_REF)
+                              K_FLUSH, BSIZE_REF)
     from ..constants import DT_ENGTXT
 
     b = len(datas)
@@ -140,8 +151,19 @@ def encode_batch(props_list, datas):
             # others fall back (rare: mixed presets in one batch)
         idxs = grouped
 
-    for i in range(b):
-        if i not in idxs:
+    fb_idx = [i for i in range(b) if i not in idxs]
+    if len(fb_idx) > 1:
+        from concurrent.futures import ProcessPoolExecutor
+        import os as _os
+        with ProcessPoolExecutor(max_workers=min(len(fb_idx),
+                                                 _os.cpu_count() or 4)) as pool:
+            for i, out in zip(fb_idx, pool.map(
+                    golden_encode,
+                    [props_list[i] for i in fb_idx],
+                    [datas[i] for i in fb_idx])):
+                outs[i] = out
+    else:
+        for i in fb_idx:
             outs[i] = golden_encode(props_list[i], datas[i])
     if not idxs:
         return outs
@@ -159,7 +181,7 @@ def encode_batch(props_list, datas):
     run_ends = np.zeros((bb, maxrun), np.int32)
     for j, rt in enumerate(run_tables):
         acc = 0
-        for k, (_, rsize, _) in enumerate(rt):
+        for k, (_, rsize, _, _cl) in enumerate(rt):
             acc += rsize
             run_ends[j, k] = acc
         run_ends[j, len(rt):] = acc
@@ -171,8 +193,14 @@ def encode_batch(props_list, datas):
                                 run_ends=run_ends)
     fparse = jax.jit(run_parse, static_argnames=())
     # cfg is a dict of python ints: hash via tuple for jit staticness
-    final, steps = jax.jit(
-        lambda s, ms: run_parse(s, cfg, ms))(st, jnp.int32(64 * n + 4096))
+    fparse_jit = jax.jit(lambda s, ms: run_parse(s, cfg, ms))
+    final, remaining = st, 64 * n + 4096
+    SEG = 400_000
+    while remaining > 0:
+        final, seg = fparse_jit(final, jnp.int32(min(SEG, remaining)))
+        remaining -= int(seg)
+        if bool(np.asarray(jnp.all(final["done"] == 1))):
+            break
     tk = np.asarray(final["tok_kind"])
     ta = np.asarray(final["tok_a"])
     tb = np.asarray(final["tok_b"])
@@ -199,10 +227,12 @@ def encode_batch(props_list, datas):
         for kk, av, bv, cv in toks:
             if kk == K_SENT_A:
                 put(K_SENT, 64, 0)
-                last = run_i == len(rt) - 1
-                put(K_INT, 1 if last else 0)
+                chunk_last = rt[run_i][3]
+                put(K_INT, 1 if chunk_last else 0)
+                if chunk_last:
+                    put(K_FLUSH)     # Coder::Flush per chunk
                 run_i += 1
-                if not last:
+                if run_i < len(rt):
                     put(K_INT, rt[run_i][0])
                     if rt[run_i][0] == DT_ENGTXT:
                         put(K_INT, rt[run_i][2])
@@ -224,11 +254,18 @@ def encode_batch(props_list, datas):
         tbb[j, :len(bbs)] = bbs
         tcc[j, :len(ccs)] = ccs
 
-    max_rc = n + n // 2 + 256
-    max_bc = n // 2 + 256
+    max_rc = 2 * n + 4096
+    max_bc = n + 4096
     BSIZE_REF[0] = 65536
     bst = make_bits_state(bb, tkk, taa, tbb, tcc, max_rc, max_bc)
-    bfinal, bsteps = jax.jit(run_bits)(bst, jnp.int32(24 * n + 65536))
+    fbits_jit = jax.jit(run_bits)
+    bfinal, remaining = bst, 24 * n + 65536
+    SEG = 400_000
+    while remaining > 0:
+        bfinal, seg = fbits_jit(bfinal, jnp.int32(min(SEG, remaining)))
+        remaining -= int(seg)
+        if bool(np.asarray(jnp.all(bfinal["done"] == 1))):
+            break
     if not np.asarray(bfinal["done"]).all():
         raise RuntimeError("encode bits scan hit step cap")
     rc_out = np.asarray(bfinal["rc_out"])
@@ -237,19 +274,19 @@ def encode_batch(props_list, datas):
     bc_cnt = np.asarray(bfinal["bc_cnt"])
     rc_map = np.asarray(bfinal["rc_blkmap"])
     bc_map = np.asarray(bfinal["bc_blkmap"])
-    lows = np.asarray(bfinal["low"].astype(jnp.uint32))
-    lowhis = np.asarray(bfinal["lowhi"])
-    caches = np.asarray(bfinal["cache"])
-    csizes = np.asarray(bfinal["cachesize"])
-    bvals = np.asarray(bfinal["bc_val"].astype(jnp.uint32))
-    bbits = np.asarray(bfinal["bc_bits"])
+    chunk_log = np.asarray(bfinal["chunk_log"])
+    chunk_cnt = np.asarray(bfinal["chunk_cnt"])
 
     for j, i in enumerate(idxs):
-        regs = (int(lows[j]), int(lowhis[j]), int(caches[j]),
-                int(csizes[j]), int(bvals[j]), int(bbits[j]))
+        if rc_cnt[j] >= rc_out.shape[1] or bc_cnt[j] >= bc_out.shape[1]:
+            # output buffer overflow (pathological expansion): fall back
+            outs[i] = golden_encode(props_list[i], datas[i])
+            continue
+        ends = [(int(chunk_log[j, k, 0]), int(chunk_log[j, k, 1]))
+                for k in range(chunk_cnt[j])]
         outs[i] = encode_host.remux_stream(
             65536, bytes(rc_out[j, :rc_cnt[j]]), bytes(bc_out[j, :bc_cnt[j]]),
-            rc_map[j], bc_map[j], regs)
+            rc_map[j], bc_map[j], regs=None, chunk_ends=ends)
     return outs
 
 

@@ -74,3 +74,26 @@ def test_encode_reference_decodes(ref_build, corpus_dir, tmp_path):
     subprocess.run([os.path.join(ref_build, "decomp"), str(fin), str(fout)],
                    check=True, capture_output=True)
     assert fout.read_bytes() == data
+
+
+def test_encode_multichunk(corpus_dir):
+    """> raw_blocksize input -> per-chunk coder flush (K_FLUSH path)."""
+    with open(os.path.join(corpus_dir, "corpus_text1m.bin"), "rb") as f:
+        data = f.read(60 * 1024)
+    props = _props(data, 2, True)
+    props.raw_blocksize = 24 * 1024     # force 3 chunks
+    want = encode_stream(props, data)
+    got = encode_stream_tpu(props, data)
+    assert got == want
+
+
+def test_encode_multichunk_roundtrip(corpus_dir):
+    """TPU multi-chunk encode decodes via the TPU batched decoder."""
+    from csc_tpu.props import write_properties, read_properties
+    from csc_tpu.ops.pipeline import decode_stream_tpu
+    with open(os.path.join(corpus_dir, "corpus_exe.bin"), "rb") as f:
+        data = f.read(56 * 1024)
+    props = _props(data, 1, True)
+    props.raw_blocksize = 24 * 1024
+    blob = write_properties(props) + encode_stream_tpu(props, data)
+    assert decode_stream_tpu(read_properties(blob[:10]), blob, 10) == data
