@@ -21,7 +21,7 @@ from .decode_scan import make_decode_state, run_decode_jit
 
 
 def decode_batch(props_list, blobs, positions=None, out_sizes=None,
-                 max_steps=None):
+                 max_steps=None, _mesh=None):
     """Decode B independent csc streams in lockstep.
 
     props_list: per-stream CSCProps (csc_blocksize/dict must be known).
@@ -62,6 +62,9 @@ def decode_batch(props_list, blobs, positions=None, out_sizes=None,
                         + 2 * wnd_size)
 
     st = make_decode_state(b, wnd_size, rc, bc, rc_ends, bc_ends)
+    if _mesh is not None:
+        from ..parallel.mesh import shard_state
+        st = shard_state(st, _mesh, b)
     # segment the device loop: very long uninterrupted while-loops can trip
     # the TPU worker watchdog; state stays on device between segments
     final, steps = st, 0
