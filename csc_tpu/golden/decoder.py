@@ -16,6 +16,23 @@ class DecodeError(Exception):
     code = DECODE_ERROR
 
 
+def _wnd_copy(wnd, dst, src, length):
+    """Overlap-safe LZ copy: replicate the period when src+length > dst
+    (byte-serial semantics, csc_dec.cpp:516-517) using slice copies."""
+    dist = dst - src
+    if dist >= length or dist <= 0:
+        wnd[dst:dst + length] = wnd[src:src + length]
+        return
+    if dist == 1:
+        wnd[dst:dst + length] = wnd[src:src + 1] * length
+        return
+    n = 0
+    while n < length:
+        m = min(dist, length - n)
+        wnd[dst + n:dst + n + m] = wnd[src + n:src + n + m]
+        n += m
+
+
 class CSCDecoder:
     def __init__(self, props, data, pos=0):
         self.io = MemReader(data, props.csc_blocksize, pos)
@@ -60,8 +77,7 @@ class CSCDecoder:
                             or length + i > limit
                             or self.wnd_curpos + length > wnd_size):
                         raise DecodeError("match out of range")
-                    for k in range(length):
-                        wnd[self.wnd_curpos + k] = wnd[cpy_pos + k]
+                    _wnd_copy(wnd, self.wnd_curpos, cpy_pos, length)
                     i += length
                     self.wnd_curpos += length
                     m.ctx = wnd[self.wnd_curpos - 1]
@@ -92,8 +108,7 @@ class CSCDecoder:
                                 or length + i > limit
                                 or self.wnd_curpos + length > wnd_size):
                             raise DecodeError("rep match out of range")
-                        for k in range(length):
-                            wnd[self.wnd_curpos + k] = wnd[cpy_pos + k]
+                        _wnd_copy(wnd, self.wnd_curpos, cpy_pos, length)
                         i += length
                         self.wnd_curpos += length
                         m.ctx = wnd[self.wnd_curpos - 1]

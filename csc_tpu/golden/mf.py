@@ -90,11 +90,25 @@ class MatchFinder:
     # ------------------------------------------------------------------
 
     def _extend(self, wpos, cmp_pos, climit):
-        """Byte-compare extension from offset 0; returns match length."""
+        """Byte-compare extension from offset 0; returns match length.
+
+        Chunked slice equality runs at C speed; overlap is fine because
+        both sides only read the current window."""
         wnd = self.wnd
         n = 0
-        while n < climit and wnd[wpos + n] == wnd[cmp_pos + n]:
-            n += 1
+        step = 128
+        while n < climit:
+            m = min(step, climit - n)
+            a = wnd[wpos + n:wpos + n + m]
+            b = wnd[cmp_pos + n:cmp_pos + n + m]
+            if a == b:
+                n += m
+                step = min(step * 2, 4096)
+                continue
+            for i in range(m):
+                if a[i] != b[i]:
+                    return n + i
+            return n + m
         return n
 
     def slide_pos(self, wnd_pos, length, limit=0xFFFFFFFF):
