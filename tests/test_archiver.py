@@ -142,3 +142,87 @@ def test_tpu_backend_extract(tmp_path):
     got = {os.path.normpath(k): v for k, v in _tree_bytes(out).items()}
     for name, content in files.items():
         assert got[os.path.normpath(name)] == content
+
+
+def test_wildcard_selection(tmp_path):
+    src = tmp_path / "src"
+    files = _mktree(str(src))
+    arc = str(tmp_path / "w.csa")
+    out = str(tmp_path / "wout")
+    cwd = os.getcwd()
+    try:
+        os.chdir(str(src))
+        assert csarc_main(["a", "-r", "-f", arc, "."]) == 0
+    finally:
+        os.chdir(cwd)
+    os.makedirs(out, exist_ok=True)
+    # extract only *.txt (ispath wildcard match, csarc.cpp:17-37)
+    assert csarc_main(["x", "-o", out, arc, "*.txt"]) == 0
+    got = {os.path.normpath(k) for k in _tree_bytes(out)}
+    assert any(k.endswith("a.txt") for k in got)
+    assert not any(k.endswith("data.bin") for k in got)
+
+
+def test_mtime_mode_restore(tmp_path):
+    src = tmp_path / "src"
+    _mktree(str(src))
+    special = src / "a.txt"
+    os.chmod(str(special), 0o640)
+    os.utime(str(special), (1500000000, 1500000000))
+    arc = str(tmp_path / "m.csa")
+    out = str(tmp_path / "mout")
+    cwd = os.getcwd()
+    try:
+        os.chdir(str(src))
+        assert csarc_main(["a", "-r", "-f", arc, "."]) == 0
+    finally:
+        os.chdir(cwd)
+    os.makedirs(out, exist_ok=True)
+    assert csarc_main(["x", "-o", out, arc]) == 0
+    restored = os.path.join(out, "a.txt")
+    st = os.stat(restored)
+    assert (st.st_mode & 0o777) == 0o640
+    # decimal_time round-trips to second granularity
+    assert abs(st.st_mtime - 1500000000) < 2
+
+
+def test_mt8_roundtrip(tmp_path):
+    src = tmp_path / "src"
+    files = _mktree(str(src))
+    arc = str(tmp_path / "t8.csa")
+    out = str(tmp_path / "t8out")
+    cwd = os.getcwd()
+    try:
+        os.chdir(str(src))
+        assert csarc_main(["a", "-r", "-f", "-t8", arc, "."]) == 0
+    finally:
+        os.chdir(cwd)
+    assert csarc_main(["t", "-t8", arc]) == 0
+    os.makedirs(out, exist_ok=True)
+    assert csarc_main(["x", "-t8", "-o", out, arc]) == 0
+    got = {os.path.normpath(k): v for k, v in _tree_bytes(out).items()}
+    for name, content in files.items():
+        assert got[os.path.normpath(name)] == content
+
+
+def test_reference_archive_list_matches(ref_build, tmp_path):
+    """`l` output lists the same files/sizes as the reference's own list."""
+    import subprocess
+    src = tmp_path / "src"
+    _mktree(str(src))
+    arc = str(tmp_path / "l.csa")
+    r = subprocess.run([os.path.join(ref_build, "csarc"), "a", "-r", "-f",
+                        arc, "."], capture_output=True, cwd=str(src))
+    assert r.returncode == 0
+    ref = subprocess.run([os.path.join(ref_build, "csarc"), "l", arc],
+                         capture_output=True, text=True)
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert csarc_main(["l", arc]) == 0
+    ours = {ln.split()[0]: ln.split()[1] for ln in buf.getvalue().splitlines()
+            if ln.strip()}
+    theirs = {ln.split()[0]: ln.split()[1] for ln in ref.stdout.splitlines()
+              if ln.strip() and not ln.startswith("CSArc")}
+    assert ours == theirs
