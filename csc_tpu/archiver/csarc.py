@@ -223,6 +223,29 @@ def _route_output(raw, filelist):
     return failures
 
 
+class _Progress:
+    """Console progress bar (ProgressIndicator, csa_progress.cpp:11-69):
+    finished-task byte counts over the total, drawn on stderr."""
+
+    def __init__(self, total, width=50):
+        self.total = max(total, 1)
+        self.done = 0
+        self.width = width
+        self.enabled = sys.stderr.isatty()
+
+    def add(self, n):
+        self.done += n
+        if not self.enabled:
+            return
+        frac = min(self.done / self.total, 1.0)
+        filled = int(self.width * frac)
+        sys.stderr.write("\r[%s%s] %3d%% done" % (
+            "=" * filled, " " * (self.width - filled), int(frac * 100)))
+        if frac >= 1.0:
+            sys.stderr.write("\n")
+        sys.stderr.flush()
+
+
 class CSArc:
     def __init__(self):
         self.index = {}
@@ -357,6 +380,7 @@ class CSArc:
         self.abindex = {}
         tasks.sort(key=lambda t: -t.total_size)
         arc_off = HEADER_SIZE
+        progress = _Progress(sum(t.total_size for t in tasks))
 
         def finish(taskid, stream, results, csc_blocksize, arc_off):
             t = tasks[taskid]
@@ -373,6 +397,7 @@ class CSArc:
                 fe.frags.append(Frag(bid=taskid, checksum=csum,
                                      posblock=posblock, size=size,
                                      posfile=fb.off))
+            progress.add(t.total_size)
             return arc_off
 
         if self.backend == "tpu" and tasks:

@@ -16,6 +16,7 @@ State = last three pack types packed 2 bits each (& 0x3F).
 import math
 
 from ..constants import DIST_TABLE, REV16_TABLE, PROB_INIT
+from . import profiler
 
 
 def _new_probs(n):
@@ -61,7 +62,9 @@ class Model:
     # ------------------------------------------------------------------
 
     def encode_literal(self, rc, c):
-        # EncodeLiteral, csc_model.cpp:169-183
+        # EncodeLiteral, csc_model.cpp:169-183 (PEncodeLiteral hook :170)
+        if profiler.enabled:
+            profiler.on_literal(c)
         rc.encode_bit(self.p_state, self.state * 3 + 0, 0)
         self.state = (self.state * 4) & 0x3F
         base = self.ctx * 256
@@ -76,7 +79,9 @@ class Model:
         self.ctx = c
 
     def encode_rep0len1(self, rc):
-        # EncodeRep0Len1, csc_model.cpp:198-207
+        # EncodeRep0Len1, csc_model.cpp:198-207 (PEncode1BMatch hook :200)
+        if profiler.enabled:
+            profiler.on_rep0len1()
         rc.encode_bit(self.p_state, self.state * 3 + 0, 1)
         rc.encode_bit(self.p_state, self.state * 3 + 1, 0)
         rc.encode_bit(self.p_state, self.state * 3 + 2, 0)
@@ -120,7 +125,9 @@ class Model:
         self._encode_matchlen_1(rc, length)
 
     def encode_repdist_match(self, rc, rep_idx, match_len):
-        # EncodeRepDistMatch, csc_model.cpp:218-232
+        # EncodeRepDistMatch, csc_model.cpp:218-232 (PEncodeRepMatch :220)
+        if profiler.enabled:
+            profiler.on_rep_match(rep_idx, match_len)
         rc.encode_bit(self.p_state, self.state * 3 + 0, 1)
         rc.encode_bit(self.p_state, self.state * 3 + 1, 0)
         rc.encode_bit(self.p_state, self.state * 3 + 2, 1)
@@ -159,7 +166,9 @@ class Model:
         return lo
 
     def encode_match(self, rc, dist, length):
-        # EncodeMatch, csc_model.cpp:301-366
+        # EncodeMatch, csc_model.cpp:301-366 (PEncodeMatch hook :304)
+        if profiler.enabled:
+            profiler.on_match(dist, length)
         rc.encode_bit(self.p_state, self.state * 3 + 0, 1)
         rc.encode_bit(self.p_state, self.state * 3 + 1, 1)
         self._encode_matchlen_2(rc, length)
