@@ -9,7 +9,8 @@ import argparse
 import sys
 import time
 
-from .props import props_init, read_properties, write_properties
+from .props import (props_init, read_properties, write_properties,
+                    est_mem_usage)
 from .constants import KB, MB
 
 
@@ -50,6 +51,8 @@ def main(argv=None):
             props.EXEFilter = 0
         if args.ftxt0:
             props.TXTFilter = 0
+        print("Estimated memory usage: %d MB"
+              % (est_mem_usage(props) // 1048576), file=sys.stderr)
         if args.backend == "tpu":
             from .ops.pipeline import encode_stream_tpu
             stream = encode_stream_tpu(props, data)

@@ -113,6 +113,12 @@ def _ult(a, b):
     return (a ^ jnp.int32(-0x80000000)) < (b ^ jnp.int32(-0x80000000))
 
 
+
+def _col(m):
+    """bool [B] -> [B,1] without an i1 minor-dim insertion (Mosaic only
+    supports non-no-op minor-dim inserts for 32-bit types)."""
+    return _i32(m)[:, None] != 0
+
 def _tile_gather(tile_refs, sub, lane, use_first=None):
     """byte[b] = tile[b, sub[b], lane[b]] over [B,TS,128] tile ref(s).
 
@@ -129,8 +135,8 @@ def _tile_gather(tile_refs, sub, lane, use_first=None):
     for s in range(TS):
         row = ra[:, s, :]
         if rb is not None:
-            row = jnp.where(use_first[:, None], row, rb[:, s, :])
-        rowsel = rowsel + jnp.where((sub == s)[:, None], row, 0)
+            row = jnp.where(_col(use_first), row, rb[:, s, :])
+        rowsel = rowsel + jnp.where(sub[:, None] == s, row, 0)
     return jnp.sum(jnp.where(lane_oh, rowsel, 0), axis=1)
 
 
@@ -147,9 +153,9 @@ def _tile_pair(tile_refs, sub, use_first=None):
     for s in range(TS):
         row = ra[:, s, :]
         if rb is not None:
-            row = jnp.where(use_first[:, None], row, rb[:, s, :])
-        lo = lo + jnp.where((sub == s)[:, None], row, 0)
-        hi = hi + jnp.where((sub1 == s)[:, None], row, 0)
+            row = jnp.where(_col(use_first), row, rb[:, s, :])
+        lo = lo + jnp.where(sub[:, None] == s, row, 0)
+        hi = hi + jnp.where(sub1[:, None] == s, row, 0)
     return jnp.concatenate([lo, hi], axis=1)
 
 
@@ -185,6 +191,8 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
 
     NWS/NRCS/NBCS: sublane counts (x128 lanes) of window / rc / bc HBM
     arrays.  NB: framing block table width."""
+    import os as _os
+    _ABL = set(filter(None, _os.environ.get("PDK_ABL", "").split(",")))
 
 
     def kernel(max_steps_ref,            # SMEM (1,1)
@@ -298,22 +306,26 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
 
             # =================== BIT micro-op ============================
             # prob index: small tables vs group cache
-            pidx = jnp.select(
-                [fsm == F_FLAG1, fsm == F_FLAG2, fsm == F_FLAG3,
-                 fsm == F_REPTREE,
-                 fsm == F_LENSLOT0, fsm == F_LENSLOT1,
-                 fsm == F_LENTREE3, fsm == F_LENTREE7, fsm == F_LONGLEN,
-                 fsm == F_DISTSLOT, fsm == F_DISTEXTRA],
-                [P_STATE + mstate3, P_STATE + mstate3 + 1,
-                 P_STATE + mstate3 + 2,
-                 P_REPDIST + mstate3 + node - 1,
-                 jnp.full_like(node, P_MLSLOT),
-                 jnp.full_like(node, P_MLSLOT + 1),
-                 jnp.where(g("len_tbl") == 1, P_MLEX1, P_MLEX2) + node,
-                 P_MLEX3 + node, jnp.full_like(node, P_LONGLEN),
-                 P_DIST + g("pdist_pos") + node,
-                 P_MDEXTRA + (g("ebits") - 1) * 16 + node],
-                default=jnp.zeros_like(node))
+            # nested-where select (jnp.select lowers to argmax, which
+            # Mosaic only supports for f32)
+            _sel_pairs = [
+                (fsm == F_FLAG1, P_STATE + mstate3),
+                (fsm == F_FLAG2, P_STATE + mstate3 + 1),
+                (fsm == F_FLAG3, P_STATE + mstate3 + 2),
+                (fsm == F_REPTREE, P_REPDIST + mstate3 + node - 1),
+                (fsm == F_LENSLOT0, jnp.full_like(node, P_MLSLOT)),
+                (fsm == F_LENSLOT1, jnp.full_like(node, P_MLSLOT + 1)),
+                (fsm == F_LENTREE3,
+                 jnp.where(g("len_tbl") == 1, P_MLEX1, P_MLEX2) + node),
+                (fsm == F_LENTREE7, P_MLEX3 + node),
+                (fsm == F_LONGLEN, jnp.full_like(node, P_LONGLEN)),
+                (fsm == F_DISTSLOT, P_DIST + g("pdist_pos") + node),
+                (fsm == F_DISTEXTRA,
+                 P_MDEXTRA + (g("ebits") - 1) * 16 + node),
+            ]
+            pidx = jnp.zeros_like(node)
+            for _c, _v in _sel_pairs:
+                pidx = jnp.where(_c, _v, pidx)
             use_small = is_bit & ~uses_grp
             pidx = jnp.where(use_small, pidx, 0)
 
@@ -330,8 +342,11 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             need_refill = is_bit & _ult(rc_range,
                                         jnp.int32(1 << 24))
             roff = rc_ptr - rc_base
-            rbyte = _tile_gather(rc_t, jnp.clip(roff >> 7, 0, TS - 1),
-                                 roff & 127)
+            if "refill" in _ABL:
+                rbyte = jnp.zeros((B,), jnp.int32)
+            else:
+                rbyte = _tile_gather(rc_t, jnp.clip(roff >> 7, 0, TS - 1),
+                                     roff & 127)
             rng = jnp.where(need_refill, rc_range << 8, rc_range)
             code = jnp.where(need_refill, (rc_code << 8) + rbyte, rc_code)
             rc_ptr2 = jnp.where(need_refill, rc_ptr + 1, rc_ptr)
@@ -342,26 +357,30 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
 
             # gather probability
             oh_small = lane_np == pidx[:, None]
-            p_small = jnp.sum(jnp.where(oh_small, probs[:], 0), axis=1)
-            p_gc = _tile_gather(grp, gsub, glane)
-            p = jnp.where(use_gc, p_gc, p_small)
+            if "probs" in _ABL:
+                p = jnp.full((B,), 2048, jnp.int32)
+            else:
+                p_small = jnp.sum(jnp.where(oh_small, probs[:], 0), axis=1)
+                p_gc = _tile_gather(grp, gsub, glane)
+                p = jnp.where(use_gc, p_gc, p_small)
 
             bound = _i32(_u32(jnp.where(is_bit, rng, 0)) >> 12) * p
             bit = _ult(code, bound) & is_bit
             new_p = jnp.where(bit, p + ((0xFFF - p) >> 5), p - (p >> 5))
             # write back prob (masked one-hot RMW)
             upd_small = use_small
-            probs[:] = jnp.where(oh_small & upd_small[:, None],
-                                 jnp.broadcast_to(new_p[:, None],
-                                                  (B, NP_SMALL)),
-                                 probs[:])
-            goh = lane128 == glane[:, None]
-            for s in range(TS):
-                m = use_gc & (gsub == s)
-                grp[:, s, :] = jnp.where(goh & m[:, None],
-                                         jnp.broadcast_to(new_p[:, None],
-                                                          (B, 128)),
-                                         grp[:, s, :])
+            if "probs" not in _ABL:
+                probs[:] = jnp.where(oh_small & _col(upd_small),
+                                     jnp.broadcast_to(new_p[:, None],
+                                                      (B, NP_SMALL)),
+                                     probs[:])
+                goh = lane128 == glane[:, None]
+                for s in range(TS):
+                    m = use_gc & (gsub == s)
+                    grp[:, s, :] = jnp.where(goh & _col(m),
+                                             jnp.broadcast_to(
+                                                 new_p[:, None], (B, 128)),
+                                             grp[:, s, :])
             rng = jnp.where(is_bit, jnp.where(bit, bound, rng - bound), rng)
             code = jnp.where(is_bit & ~bit, code - bound, code)
 
@@ -380,8 +399,12 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             for _ in range(3):
                 need = is_dir & (bc_bits < nbits)
                 boff = bc_ptr2 - bc_base
-                bbyte = _tile_gather(bc_t, jnp.clip(boff >> 7, 0, TS - 1),
-                                     boff & 127)
+                if "bc" in _ABL:
+                    bbyte = jnp.zeros((B,), jnp.int32)
+                else:
+                    bbyte = _tile_gather(bc_t,
+                                         jnp.clip(boff >> 7, 0, TS - 1),
+                                         boff & 127)
                 bc_val = jnp.where(need, ((bc_val << 8) | bbyte), bc_val)
                 bc_ptr2 = jnp.where(need, bc_ptr2 + 1, bc_ptr2)
                 bc_blk = jnp.where(need & (bc_ptr2 >= bc_end),
@@ -401,8 +424,12 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             pb = []
             for k in range(1, 5):
                 off = pr + k - rc_base
-                pb.append(_tile_gather(rc_t, jnp.clip(off >> 7, 0, TS - 1),
-                                       off & 127))
+                if "prime" in _ABL:
+                    pb.append(jnp.zeros((B,), jnp.int32))
+                else:
+                    pb.append(_tile_gather(rc_t,
+                                           jnp.clip(off >> 7, 0, TS - 1),
+                                           off & 127))
             prime_code = ((pb[0] << 24) | (pb[1] << 16)
                           | (pb[2] << 8) | pb[3])
 
@@ -414,12 +441,15 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             #  below wnd_pos only, enforced by the avail cap)
             cl = jnp.where(is_cpy, jnp.maximum(cl, 0), 0)
 
-            osub = (src_eff >> 7) & (TS - 1)
-            rsub = jnp.clip((src_eff - rd_base) >> 7, 0, TS - 1)
-            pairsub = jnp.where(use_out, osub, rsub)
-            pair = _tile_pair((out_t, rd_t), pairsub, use_first=use_out)
-            aligned = _rot_left(pair, src_eff & 127, 256)
-            copy_chunk = aligned[:, :128]
+            if "copy" in _ABL:
+                copy_chunk = jnp.zeros((B, 128), jnp.int32)
+            else:
+                osub = (src_eff >> 7) & (TS - 1)
+                rsub = jnp.clip((src_eff - rd_base) >> 7, 0, TS - 1)
+                pairsub = jnp.where(use_out, osub, rsub)
+                pair = _tile_pair((out_t, rd_t), pairsub, use_first=use_out)
+                aligned = _rot_left(pair, src_eff & 127, 256)
+                copy_chunk = aligned[:, :128]
 
             # ---- unified window write (copy chunk OR literal/raw bytes)
             # byte-write values are filled in by the transition section
@@ -651,13 +681,14 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             logpos = jnp.minimum(blk_cnt, max_blocks - 1) * 2
             ohl = lane_log == logpos[:, None]
             ohl2 = lane_log == (logpos + 1)[:, None]
-            blklog_ref[:] = jnp.where(
-                ohl & bt[:, None],
-                jnp.broadcast_to(num[:, None], (B, 2 * max_blocks)),
-                jnp.where(ohl2 & bt[:, None],
-                          jnp.broadcast_to(wnd_pos[:, None],
-                                           (B, 2 * max_blocks)),
-                          blklog_ref[:]))
+            if "blklog" not in _ABL:
+                blklog_ref[:] = jnp.where(
+                    ohl & _col(bt),
+                    jnp.broadcast_to(num[:, None], (B, 2 * max_blocks)),
+                    jnp.where(ohl2 & _col(bt),
+                              jnp.broadcast_to(wnd_pos[:, None],
+                                               (B, 2 * max_blocks)),
+                              blklog_ref[:]))
             upd("blk_cnt", bt, blk_cnt + 1)
             upd("blk_start", bt, wnd_pos)
             upd("fsm", bt & ((num == DT_NORMAL) | (num == DT_EXE)), F_FLAG1)
@@ -766,24 +797,28 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             # ================== unified window write =====================
             # byte-writers: literal / entropy byte / BAD raw bytes
             one_w = lit_write | ent_write | bad_write
-            b0 = jnp.select([lit_write, ent_write, bad_write],
-                            [lit_byte, ent_byte, bad_b0],
-                            default=jnp.zeros_like(node))
+            b0 = jnp.where(lit_write, lit_byte,
+                           jnp.where(ent_write, ent_byte,
+                                     jnp.where(bad_write, bad_b0, 0)))
             wlen = jnp.where(is_cpy & (cl > 0), cl,
                              jnp.where(bad_write, nwr,
                                        jnp.where(one_w, 1, 0)))
             wbase = wnd_pos  # position before advance
-            bytes_vec = jnp.where((is_cpy & (cl > 0))[:, None], copy_chunk,
+            bytes_vec = jnp.where(_col(is_cpy & (cl > 0)), copy_chunk,
                                   jnp.where(lane128 == 0, b0[:, None],
                                             jnp.where(lane128 == 1,
                                                       bad_b1[:, None], 0)))
             # position into the 2-row ring pair and write
             dsub = (wbase >> 7) & (TS - 1)
             dlane = wbase & 127
-            pos256 = _rot_right(
-                jnp.concatenate([bytes_vec,
-                                 jnp.zeros((B, 128), jnp.int32)], axis=1),
-                dlane, 256)
+            if "write" in _ABL:
+                pos256 = jnp.zeros((B, 256), jnp.int32)
+            else:
+                pos256 = _rot_right(
+                    jnp.concatenate([bytes_vec,
+                                     jnp.zeros((B, 128), jnp.int32)],
+                                    axis=1),
+                    dlane, 256)
             # lane k of row dsub valid iff dlane <= k < dlane+wlen
             # lane k of row dsub+1 valid iff k + 128 < dlane + wlen
             vlo = (lane128 >= dlane[:, None]) \
@@ -791,12 +826,13 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             vhi = (lane128 + 128) < (dlane + wlen)[:, None]
             dsub1 = (dsub + 1) & (TS - 1)
             wany = (wlen > 0)
-            for s in range(TS):
-                mlo = vlo & ((dsub == s) & wany)[:, None]
-                mhi = vhi & ((dsub1 == s) & wany)[:, None]
-                out_t[:, s, :] = jnp.where(
-                    mlo, pos256[:, :128],
-                    jnp.where(mhi, pos256[:, 128:], out_t[:, s, :]))
+            if "write" not in _ABL:
+                for s in range(TS):
+                    mlo = vlo & _col((dsub == s) & wany)
+                    mhi = vhi & _col((dsub1 == s) & wany)
+                    out_t[:, s, :] = jnp.where(
+                        mlo, pos256[:, :128],
+                        jnp.where(mhi, pos256[:, 128:], out_t[:, s, :]))
 
             # flush request when a 1KB block boundary is crossed
             new_wp = new[_RI["wnd_pos"]]
@@ -980,12 +1016,22 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
         def cond(carry):
             step = carry[0]
             done = carry[1][_RI["done"]]
+            if "nodone" in _ABL:
+                return step < max_steps_ref[0, 0]
             return (step < max_steps_ref[0, 0]) & ~jnp.all(done == 1)
+
+        import os as _os
+        _prof = _os.environ.get("PDK_PROF", "")
 
         def body(carry):
             step, rg = carry
-            new = vstep(rg)
-            service()
+            if _prof == "novec":
+                new = list(rg)
+                req[:] = jnp.full((NRQ, B), -1, jnp.int32)
+            else:
+                new = vstep(rg)
+            if _prof != "noserv":
+                service()
             return step + 1, tuple(new)
 
         rg0 = tuple(regs_ref[i, :] for i in range(NR))

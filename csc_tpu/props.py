@@ -99,6 +99,22 @@ def props_init(dict_size: int, level: int) -> CSCProps:
     return p
 
 
+def est_mem_usage(p: CSCProps) -> int:
+    """Estimated encoder working-set in bytes (CSCEnc_EstMemUsage,
+    csc_enc.cpp:99-112).  Same formula so the `-m` printout matches the
+    reference csc CLI (csc.cpp:144)."""
+    ret = p.dict_size
+    ret += p.csc_blocksize * 2
+    if p.bt_size:
+        ret += ((1 << p.bt_hash_bits) + 2 * p.bt_size) * 4
+    if p.hash_width:
+        ret += (p.hash_width * (1 << p.hash_bits)) * 4
+    ret += 80 * KB * 4
+    ret += 256 * 256 * 4 * 2
+    ret += 2 * MB
+    return ret
+
+
 def write_properties(p: CSCProps) -> bytes:
     """10-byte big-endian header (csc_enc.cpp:145-158)."""
     return bytes([

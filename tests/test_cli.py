@@ -43,3 +43,24 @@ def test_cli_filter_flags(tmp_path, corpus_dir):
     dec = str(tmp_path / "dec.bin")
     assert cli_main(["d", b, dec]) == 0
     assert open(dec, "rb").read() == src.read_bytes()
+
+
+def test_est_mem_usage_matches_reference(ref_build, tmp_path, corpus_dir):
+    """est_mem_usage replicates CSCEnc_EstMemUsage (csc_enc.cpp:99-112):
+    the 'Estimated memory usage: N MB' stderr line must match the
+    reference csc binary for every level."""
+    import re
+    from csc_tpu.props import props_init, est_mem_usage
+
+    src = tmp_path / "in.bin"
+    with open(os.path.join(corpus_dir, "corpus_text1m.bin"), "rb") as f:
+        src.write_bytes(f.read(200 * 1024))
+    for level in (1, 2, 3, 4, 5):
+        r = subprocess.run(
+            [os.path.join(ref_build, "csc"), "c", f"-m{level}", str(src),
+             str(tmp_path / "o.csc")], capture_output=True, text=True)
+        m = re.search(r"Estimated memory usage: (\d+) MB", r.stderr)
+        assert m, r.stderr
+        # reference clamps dict to file size (csc.cpp:133)
+        p = props_init(200 * 1024, level)
+        assert est_mem_usage(p) // 1048576 == int(m.group(1)), level

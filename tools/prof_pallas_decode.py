@@ -1,0 +1,98 @@
+"""Marginal profiling of the pallas decode kernel on the real chip.
+
+Usage: PDK_PROF={,novec,noserv} python tools/prof_pallas_decode.py [B]
+Times _run directly with fixed max_steps (marginal across two step counts).
+"""
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache-tpu")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from csc_tpu.props import props_init  # noqa: E402
+from csc_tpu.golden.encoder import encode_stream  # noqa: E402
+from csc_tpu.ops import pallas_decode as pd  # noqa: E402
+from csc_tpu.ops import framing  # noqa: E402
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+variant = os.environ.get("PDK_PROF", "full") or "full"
+
+
+def mk_text(n, seed=0):
+    rng = np.random.default_rng(seed)
+    words = [b"the", b"quick", b"brown", b"compression", b"window",
+             b"entropy", b"coder", b"range", b"match", b"finder"]
+    out = bytearray()
+    while len(out) < n:
+        out += words[rng.integers(len(words))] + b" "
+    return bytes(out[:n])
+
+
+import pickle
+cache = f"/tmp/prof_blobs_{B}.pkl"
+ps = []
+for _ in range(B):
+    p = props_init(32 * 1024, 1)
+    p.DLTFilter = p.EXEFilter = p.TXTFilter = 0
+    ps.append(p)
+if os.path.exists(cache):
+    with open(cache, "rb") as f:
+        datas, blobs = pickle.load(f)
+else:
+    datas = [mk_text(16384, s) for s in range(B)]
+    blobs = [encode_stream(p, d) for p, d in zip(ps, datas)]
+    with open(cache, "wb") as f:
+        pickle.dump((datas, blobs), f)
+
+rcs, bcs, rce, bce = [], [], [], []
+for p, blob in zip(ps, blobs):
+    rc, bc, re_, be_ = framing.demux_stream(blob, 0, p.csc_blocksize)
+    rcs.append(rc); bcs.append(bc); rce.append(re_); bce.append(be_)
+rcp = framing.batch_pad(rcs, 0, np.uint8)
+bcp = framing.batch_pad(bcs, 0, np.uint8)
+rc_ends = framing.pad_ends(rce)
+bc_ends = framing.pad_ends(bce)
+nb = max(rc_ends.shape[1], bc_ends.shape[1])
+re2 = np.full((B, nb), 0x7FFFFFFF, np.int32); re2[:, :rc_ends.shape[1]] = rc_ends
+be2 = np.full((B, nb), 0x7FFFFFFF, np.int32); be2[:, :bc_ends.shape[1]] = bc_ends
+nrc = pd._bucket(rcp.shape[1] + pd.TILE + 8)
+nbc = pd._bucket(bcp.shape[1] + pd.TILE + 8)
+rc_i = np.zeros((B, nrc), np.int32); rc_i[:, :rcp.shape[1]] = rcp
+bc_i = np.zeros((B, nbc), np.int32); bc_i[:, :bcp.shape[1]] = bcp
+wmax = 16384
+nw = pd._bucket(wmax + 2 * pd.TILE, 4096)
+
+regs = np.zeros((pd.NR, B), np.int32)
+regs[pd._RI["fsm"], :] = pd.F_PRIME
+regs[pd._RI["rc_base"], :] = -(1 << 20)
+regs[pd._RI["bc_base"], :] = -(1 << 20)
+regs[pd._RI["rd_base"], :] = -(1 << 20)
+regs[pd._RI["grp_key"], :] = -1
+
+wnd = jnp.zeros((B, nw // 128, 128), jnp.int32)
+plit = jnp.full((B, 512, 128), 2048, jnp.int32)
+pdlt = jnp.full((B, 512, 128), 2048, jnp.int32)
+rc_d = jnp.asarray(rc_i.reshape(B, nrc // 128, 128))
+bc_d = jnp.asarray(bc_i.reshape(B, nbc // 128, 128))
+re_d = jnp.asarray(re2); be_d = jnp.asarray(be2)
+regs_d = jnp.asarray(regs)
+
+
+def run(nsteps):
+    ms = jnp.asarray(np.array([[nsteps]], np.int32))
+    outs = pd._run(B, nw // 128, nrc // 128, nbc // 128, nb, False,
+                   ms, re_d, be_d, regs_d, rc_d, bc_d, wnd, plit, pdlt)
+    return int(np.asarray(outs[5])[0, 0])
+
+
+N1, N2 = 2000, 22000
+run(N1)  # compile + warm
+t0 = time.time(); s1 = run(N1); t1 = time.time()
+s2 = run(N2); t2 = time.time()
+per = (t2 - t1 - (t1 - t0)) / (s2 - s1) * 1e6
+print(f"variant={variant} B={B} t(N1={s1})={t1 - t0:.3f}s "
+      f"t(N2={s2})={t2 - t1:.3f}s marginal={per:.2f} us/step")
