@@ -363,10 +363,15 @@ class CSArc:
             if cur.total_size:
                 tasks.append(cur)
 
-        with open(self.arcname, "wb") as f:
-            f.write(b"\0" * HEADER_SIZE)
+        from ..parallel import dist
+        lead = dist.process_index() == 0
+        if lead:
+            with open(self.arcname, "wb") as f:
+                f.write(b"\0" * HEADER_SIZE)
 
         self._compress_mt(tasks)
+        if not lead:
+            return 0  # rank 0 owns the archive file + trailer
 
         with open(self.arcname, "r+b") as f:
             write_trailer(f, self.index, self.abindex)
@@ -400,34 +405,62 @@ class CSArc:
             progress.add(t.total_size)
             return arc_off
 
-        if self.backend == "tpu" and tasks:
+        from ..parallel import dist
+        if dist.is_distributed():
+            # multi-host dp: every process compresses tasks round-robin
+            # by rank, streams gather to rank 0 which lays the archive
+            # out in task order (compress_mt's writer + frag bookkeeping,
+            # csarc.cpp:361-400, run once on the lead host)
+            import pickle
+            pid, n = dist.process_index(), dist.process_count()
+            mine = list(range(pid, len(tasks), n))
+            produced = {i: (s, r, bs)
+                        for i, s, r, bs in self._produce_streams(
+                            tasks, mine, progress)}
+            merged = {}
+            for blob in dist.allgather_bytes(pickle.dumps(produced)):
+                merged.update(pickle.loads(blob))
+            if pid != 0:
+                return
+            for i in range(len(tasks)):
+                stream, results, bs = merged[i]
+                arc_off = finish(i, stream, results, bs, arc_off)
+        else:
+            for i, stream, results, bs in self._produce_streams(
+                    tasks, list(range(len(tasks))), progress):
+                arc_off = finish(i, stream, results, bs, arc_off)
+
+    def _produce_streams(self, tasks, ids, progress=None):
+        """Compress tasks[i] for i in ids with the configured backend;
+        yields (taskid, stream, results, csc_blocksize) in completion
+        order."""
+        if self.backend == "tpu" and ids:
             # one batched TPU encode over all tasks (per-stream golden
             # fallback inside encode_batch for unsupported content)
             from ..props import props_init, write_properties
             from ..ops.pipeline import encode_batch
             datas, allres, props_list = [], [], []
-            for t in tasks:
-                solid, results = _read_task((t.filelist,))
+            for i in ids:
+                solid, results = _read_task((tasks[i].filelist,))
                 datas.append(solid)
                 allres.append(results)
                 props_list.append(props_init(
                     min(self.dict_size, max(len(solid), 1)), self.level))
             streams = encode_batch(props_list, datas)
-            for i, t in enumerate(tasks):
-                stream = (write_properties(props_list[i]) + streams[i])
-                arc_off = finish(i, stream, allres[i],
-                                 props_list[i].csc_blocksize, arc_off)
+            for k, i in enumerate(ids):
+                stream = (write_properties(props_list[k]) + streams[k])
+                yield (i, stream, allres[k], props_list[k].csc_blocksize)
         elif self.mt_count <= 1:
-            for i, t in enumerate(tasks):
+            for i in ids:
                 stream, results, bs = _compress_task(
-                    (t.filelist, self.level, self.dict_size))
-                arc_off = finish(i, stream, results, bs, arc_off)
+                    (tasks[i].filelist, self.level, self.dict_size))
+                yield (i, stream, results, bs)
         else:
             with ProcessPoolExecutor(max_workers=self.mt_count) as pool:
                 futs = {}
-                for i, t in enumerate(tasks):
+                for i in ids:
                     futs[pool.submit(_compress_task,
-                                     (t.filelist, self.level,
+                                     (tasks[i].filelist, self.level,
                                       self.dict_size))] = i
                 pending = set(futs)
                 while pending:
@@ -435,7 +468,7 @@ class CSArc:
                     for fut in done:
                         i = futs[fut]
                         stream, results, bs = fut.result()
-                        arc_off = finish(i, stream, results, bs, arc_off)
+                        yield (i, stream, results, bs)
 
     # ---------------------------------------------------------------- x/t
 
@@ -649,6 +682,8 @@ def main(argv=None):
         sys.stderr.write("usage: csarc a|x|l|t [options] archive [files...]\n")
         return 1
     op = argv[0][0]
+    from ..parallel import dist
+    dist.init_distributed()   # no-op unless CSC_DIST_* env is present
     arc = parse_args(argv[1:])
     if op == "a":
         return arc.add()
