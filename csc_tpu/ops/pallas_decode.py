@@ -89,15 +89,23 @@ REGS = [
 NR = len(REGS)
 _RI = {n: i for i, n in enumerate(REGS)}
 
-# service request rows (vector phase -> SMEM -> scalar sweep)
-RQ_FLUSH = 0      # wnd block index to flush, -1 = none
-RQ_FETCH = 1      # rd fetch base block (2 blocks), -1 = none
-RQ_SWAP_NEW = 2   # group key to fetch (table*64+grp), -1 = none
-RQ_SWAP_OLD = 3   # group key to write back first, -1 = none
-RQ_SWAP_SLOT = 4  # slot to fetch into (old slot is 1-this)
-RQ_RC = 5         # rc tile fetch base block, -1 = none
-RQ_BC = 6         # bc tile fetch base block, -1 = none
-NRQ = 8
+# service request rows (vector phase -> SMEM -> scalar sweep).  Rows 1-5
+# hold COMPACTED requesting-stream ids (prefix-sum packed, -1 sentinel
+# terminated) so the scalar sweep runs O(requests), not O(B); rows 6-12
+# hold per-stream payloads read by id.
+RQ_FLUSH_IDS = 1
+RQ_FETCH_IDS = 2
+RQ_SWAP_IDS = 3
+RQ_RC_IDS = 4
+RQ_BC_IDS = 5
+RQ_FLUSH_P = 6    # wnd block index to flush
+RQ_FETCH_P = 7    # rd fetch base sublane
+RQ_SWAP_NEW = 8   # group key to fetch (table*64+grp)
+RQ_SWAP_OLD = 9   # group key to write back first (-1 = none)
+RQ_SWAP_SLOT = 10  # slot to fetch into (old slot is 1-this)
+RQ_RC_P = 11      # rc tile fetch base sublane
+RQ_BC_P = 12      # bc tile fetch base sublane
+NRQ = 16
 
 
 def _u32(x):
@@ -228,6 +236,35 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             return jnp.sum(jnp.where(lane_nb == idx[:, None],
                                      ends_ref[:], 0), axis=1)
 
+        iota_1b = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+        slot_bb = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+        src_bb = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+
+        def compact(mask):
+            """Pack the ids of set lanes to the front; -1 beyond count.
+            Roll-based exclusive prefix sum + one-hot scatter."""
+            m32 = _i32(mask)[None, :]
+            ps = m32
+            j = 1
+            while j < B:
+                ps = ps + jnp.where(iota_1b >= j, pltpu.roll(ps, j, 1), 0)
+                j *= 2
+            pos = (ps - m32)[0]
+            hit = (pos[None, :] == slot_bb) & mask[None, :]
+            return jnp.sum(jnp.where(hit, src_bb + 1, 0), axis=1) - 1
+
+        def emit(row, mask):
+            """Write a compacted id row, skipping the packing entirely on
+            request-free steps (the overwhelmingly common case)."""
+            def then(_):
+                req[row, :] = compact(mask)
+                return 0
+
+            def els(_):
+                req[row, :] = jnp.full((B,), -1, jnp.int32)
+                return 0
+            jax.lax.cond(jnp.any(mask), then, els, 0)
+
         # ---------------- vector phase: one lockstep micro-op ------------
         def vstep(rg):
             g = lambda n: rg[_RI[n]]
@@ -284,22 +321,18 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             is_cpy = is_cpy0 & ~stall & ~bad_copy
             is_prm = is_prm0 & ~stall
 
-            # ---- requests
-            req[RQ_RC, :] = jnp.where(
-                rc_miss, jnp.clip((rc_ptr >> 10) << 3, 0,
-                                  NRCS - 16), -1)
-            req[RQ_BC, :] = jnp.where(
-                bc_miss, jnp.clip((bc_ptr >> 10) << 3, 0,
-                                  NBCS - 16), -1)
-            req[RQ_FETCH, :] = jnp.where(
-                rd_miss, jnp.clip((src_eff >> 10) << 3, 0,
-                                  NWS - 16), -1)
+            # ---- request payload rows (ids are emitted compacted at the
+            # end of the step, once the flush mask is known)
+            req[RQ_RC_P, :] = jnp.clip((rc_ptr >> 10) << 3, 0, NRCS - 16)
+            req[RQ_BC_P, :] = jnp.clip((bc_ptr >> 10) << 3, 0, NBCS - 16)
+            req[RQ_FETCH_P, :] = jnp.clip((src_eff >> 10) << 3, 0,
+                                          NWS - 16)
             new_rc_base = jnp.where(rc_miss, (rc_ptr >> 10) << 10, rc_base)
             new_bc_base = jnp.where(bc_miss, (bc_ptr >> 10) << 10, bc_base)
             new_rd_base = jnp.where(rd_miss, (src_eff >> 10) << 10, rd_base)
             grp_slot = g("grp_slot")
-            req[RQ_SWAP_NEW, :] = jnp.where(grp_miss, want_key, -1)
-            req[RQ_SWAP_OLD, :] = jnp.where(grp_miss, grp_key, -1)
+            req[RQ_SWAP_NEW, :] = want_key
+            req[RQ_SWAP_OLD, :] = grp_key
             new_slot = jnp.where(grp_miss, 1 - grp_slot, grp_slot)
             req[RQ_SWAP_SLOT, :] = new_slot
             new_grp_key = jnp.where(grp_miss, want_key, grp_key)
@@ -342,11 +375,11 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             need_refill = is_bit & _ult(rc_range,
                                         jnp.int32(1 << 24))
             roff = rc_ptr - rc_base
-            if "refill" in _ABL:
-                rbyte = jnp.zeros((B,), jnp.int32)
-            else:
-                rbyte = _tile_gather(rc_t, jnp.clip(roff >> 7, 0, TS - 1),
-                                     roff & 127)
+            rbyte = jax.lax.cond(
+                jnp.any(need_refill),
+                lambda: _tile_gather(rc_t, jnp.clip(roff >> 7, 0, TS - 1),
+                                     roff & 127),
+                lambda: jnp.zeros((B,), jnp.int32))
             rng = jnp.where(need_refill, rc_range << 8, rc_range)
             code = jnp.where(need_refill, (rc_code << 8) + rbyte, rc_code)
             rc_ptr2 = jnp.where(need_refill, rc_ptr + 1, rc_ptr)
@@ -355,25 +388,31 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             rc_blk = jnp.where(need_refill & (rc_ptr2 >= rc_end),
                                rc_blk + 1, rc_blk)
 
-            # gather probability
+            # gather probability (each table class gated on whether any
+            # stream uses it this step)
             oh_small = lane_np == pidx[:, None]
-            if "probs" in _ABL:
-                p = jnp.full((B,), 2048, jnp.int32)
-            else:
-                p_small = jnp.sum(jnp.where(oh_small, probs[:], 0), axis=1)
-                p_gc = _tile_gather(grp, gsub, glane)
-                p = jnp.where(use_gc, p_gc, p_small)
+            p_small = jax.lax.cond(
+                jnp.any(use_small),
+                lambda: jnp.sum(jnp.where(oh_small, probs[:], 0), axis=1),
+                lambda: jnp.zeros((B,), jnp.int32))
+            p_gc = jax.lax.cond(
+                jnp.any(use_gc),
+                lambda: _tile_gather(grp, gsub, glane),
+                lambda: jnp.zeros((B,), jnp.int32))
+            p = jnp.where(use_gc, p_gc, p_small)
 
             bound = _i32(_u32(jnp.where(is_bit, rng, 0)) >> 12) * p
             bit = _ult(code, bound) & is_bit
             new_p = jnp.where(bit, p + ((0xFFF - p) >> 5), p - (p >> 5))
             # write back prob (masked one-hot RMW)
-            upd_small = use_small
-            if "probs" not in _ABL:
-                probs[:] = jnp.where(oh_small & _col(upd_small),
+            def _rmw_small(_):
+                probs[:] = jnp.where(oh_small & _col(use_small),
                                      jnp.broadcast_to(new_p[:, None],
                                                       (B, NP_SMALL)),
                                      probs[:])
+                return 0
+
+            def _rmw_gc(_):
                 goh = lane128 == glane[:, None]
                 for s in range(TS):
                     m = use_gc & (gsub == s)
@@ -381,6 +420,9 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                                              jnp.broadcast_to(
                                                  new_p[:, None], (B, 128)),
                                              grp[:, s, :])
+                return 0
+            jax.lax.cond(jnp.any(use_small), _rmw_small, lambda _: 0, 0)
+            jax.lax.cond(jnp.any(use_gc), _rmw_gc, lambda _: 0, 0)
             rng = jnp.where(is_bit, jnp.where(bit, bound, rng - bound), rng)
             code = jnp.where(is_bit & ~bit, code - bound, code)
 
@@ -393,45 +435,55 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                               jnp.where(size_rem >= 2, 16, 8), nbits)
             nbits = jnp.where(is_dir, nbits, 0)
 
-            bc_val, bc_bits = g("bc_val"), g("bc_bits")
-            bc_ptr2, bc_blk = bc_ptr, g("bc_blk")
-            bc_end = ends_gather(bc_ends_ref, jnp.clip(bc_blk, 0, NB - 1))
-            for _ in range(3):
-                need = is_dir & (bc_bits < nbits)
-                boff = bc_ptr2 - bc_base
-                if "bc" in _ABL:
-                    bbyte = jnp.zeros((B,), jnp.int32)
-                else:
+            def _dir_read():
+                bc_val_, bc_bits_ = g("bc_val"), g("bc_bits")
+                bc_ptr_, bc_blk_ = bc_ptr, g("bc_blk")
+                bc_end = ends_gather(bc_ends_ref,
+                                     jnp.clip(bc_blk_, 0, NB - 1))
+                for _ in range(3):
+                    need = is_dir & (bc_bits_ < nbits)
+                    boff = bc_ptr_ - bc_base
                     bbyte = _tile_gather(bc_t,
                                          jnp.clip(boff >> 7, 0, TS - 1),
                                          boff & 127)
-                bc_val = jnp.where(need, ((bc_val << 8) | bbyte), bc_val)
-                bc_ptr2 = jnp.where(need, bc_ptr2 + 1, bc_ptr2)
-                bc_blk = jnp.where(need & (bc_ptr2 >= bc_end),
-                                   bc_blk + 1, bc_blk)
-                bc_end = ends_gather(bc_ends_ref,
-                                     jnp.clip(bc_blk, 0, NB - 1))
-                bc_bits = jnp.where(need, bc_bits + 8, bc_bits)
-            shift = jnp.maximum(bc_bits - nbits, 0)
-            mask = _i32((_u32(jnp.full_like(nbits, 1)) << _u32(nbits)) - 1)
-            dval = jnp.where(is_dir,
-                             _i32(_u32(bc_val) >> _u32(shift)) & mask, 0)
-            bc_bits = jnp.where(is_dir, bc_bits - nbits, bc_bits)
+                    bc_val_ = jnp.where(need, ((bc_val_ << 8) | bbyte),
+                                        bc_val_)
+                    bc_ptr_ = jnp.where(need, bc_ptr_ + 1, bc_ptr_)
+                    bc_blk_ = jnp.where(need & (bc_ptr_ >= bc_end),
+                                        bc_blk_ + 1, bc_blk_)
+                    bc_end = ends_gather(bc_ends_ref,
+                                         jnp.clip(bc_blk_, 0, NB - 1))
+                    bc_bits_ = jnp.where(need, bc_bits_ + 8, bc_bits_)
+                shift = jnp.maximum(bc_bits_ - nbits, 0)
+                msk = _i32((_u32(jnp.full_like(nbits, 1))
+                            << _u32(nbits)) - 1)
+                dval_ = jnp.where(is_dir,
+                                  _i32(_u32(bc_val_) >> _u32(shift)) & msk,
+                                  0)
+                bc_bits_ = jnp.where(is_dir, bc_bits_ - nbits, bc_bits_)
+                return dval_, bc_val_, bc_bits_, bc_ptr_, bc_blk_
+
+            dval, bc_val, bc_bits, bc_ptr2, bc_blk = jax.lax.cond(
+                jnp.any(is_dir), _dir_read,
+                lambda: (jnp.zeros((B,), jnp.int32), g("bc_val"),
+                         g("bc_bits"), bc_ptr, g("bc_blk")))
 
             # =================== PRIME micro-op ==========================
             # read 4 big-endian code bytes at rc_ptr+1..+4 (csc_dec.cpp:340)
-            pr = jnp.where(is_prm, rc_ptr, 0)
-            pb = []
-            for k in range(1, 5):
-                off = pr + k - rc_base
-                if "prime" in _ABL:
-                    pb.append(jnp.zeros((B,), jnp.int32))
-                else:
+            def _prime_read():
+                pr = jnp.where(is_prm, rc_ptr, 0)
+                pb = []
+                for k in range(1, 5):
+                    off = pr + k - rc_base
                     pb.append(_tile_gather(rc_t,
                                            jnp.clip(off >> 7, 0, TS - 1),
                                            off & 127))
-            prime_code = ((pb[0] << 24) | (pb[1] << 16)
-                          | (pb[2] << 8) | pb[3])
+                return ((pb[0] << 24) | (pb[1] << 16)
+                        | (pb[2] << 8) | pb[3])
+
+            prime_code = jax.lax.cond(
+                jnp.any(is_prm), _prime_read,
+                lambda: jnp.zeros((B,), jnp.int32))
 
             # =================== COPY micro-op ===========================
             cl = jnp.minimum(jnp.minimum(cpy_rem, CH), avail)
@@ -441,15 +493,18 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             #  below wnd_pos only, enforced by the avail cap)
             cl = jnp.where(is_cpy, jnp.maximum(cl, 0), 0)
 
-            if "copy" in _ABL:
-                copy_chunk = jnp.zeros((B, 128), jnp.int32)
-            else:
+            def _copy_read():
                 osub = (src_eff >> 7) & (TS - 1)
                 rsub = jnp.clip((src_eff - rd_base) >> 7, 0, TS - 1)
                 pairsub = jnp.where(use_out, osub, rsub)
-                pair = _tile_pair((out_t, rd_t), pairsub, use_first=use_out)
+                pair = _tile_pair((out_t, rd_t), pairsub,
+                                  use_first=use_out)
                 aligned = _rot_left(pair, src_eff & 127, 256)
-                copy_chunk = aligned[:, :128]
+                return aligned[:, :128]
+
+            copy_chunk = jax.lax.cond(
+                jnp.any(is_cpy), _copy_read,
+                lambda: jnp.zeros((B, 128), jnp.int32))
 
             # ---- unified window write (copy chunk OR literal/raw bytes)
             # byte-write values are filled in by the transition section
@@ -681,7 +736,7 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             logpos = jnp.minimum(blk_cnt, max_blocks - 1) * 2
             ohl = lane_log == logpos[:, None]
             ohl2 = lane_log == (logpos + 1)[:, None]
-            if "blklog" not in _ABL:
+            def _log_block(_):
                 blklog_ref[:] = jnp.where(
                     ohl & _col(bt),
                     jnp.broadcast_to(num[:, None], (B, 2 * max_blocks)),
@@ -689,6 +744,8 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                               jnp.broadcast_to(wnd_pos[:, None],
                                                (B, 2 * max_blocks)),
                               blklog_ref[:]))
+                return 0
+            jax.lax.cond(jnp.any(bt), _log_block, lambda _: 0, 0)
             upd("blk_cnt", bt, blk_cnt + 1)
             upd("blk_start", bt, wnd_pos)
             upd("fsm", bt & ((num == DT_NORMAL) | (num == DT_EXE)), F_FLAG1)
@@ -811,35 +868,43 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             # position into the 2-row ring pair and write
             dsub = (wbase >> 7) & (TS - 1)
             dlane = wbase & 127
-            if "write" in _ABL:
-                pos256 = jnp.zeros((B, 256), jnp.int32)
-            else:
+            wany = (wlen > 0)
+
+            def _wnd_write(_):
                 pos256 = _rot_right(
                     jnp.concatenate([bytes_vec,
                                      jnp.zeros((B, 128), jnp.int32)],
                                     axis=1),
                     dlane, 256)
-            # lane k of row dsub valid iff dlane <= k < dlane+wlen
-            # lane k of row dsub+1 valid iff k + 128 < dlane + wlen
-            vlo = (lane128 >= dlane[:, None]) \
-                & (lane128 < (dlane + wlen)[:, None])
-            vhi = (lane128 + 128) < (dlane + wlen)[:, None]
-            dsub1 = (dsub + 1) & (TS - 1)
-            wany = (wlen > 0)
-            if "write" not in _ABL:
+                # lane k of row dsub valid iff dlane <= k < dlane+wlen
+                # lane k of row dsub+1 valid iff k + 128 < dlane + wlen
+                vlo = (lane128 >= dlane[:, None]) \
+                    & (lane128 < (dlane + wlen)[:, None])
+                vhi = (lane128 + 128) < (dlane + wlen)[:, None]
+                dsub1 = (dsub + 1) & (TS - 1)
                 for s in range(TS):
                     mlo = vlo & _col((dsub == s) & wany)
                     mhi = vhi & _col((dsub1 == s) & wany)
                     out_t[:, s, :] = jnp.where(
                         mlo, pos256[:, :128],
                         jnp.where(mhi, pos256[:, 128:], out_t[:, s, :]))
+                return 0
+            jax.lax.cond(jnp.any(wany), _wnd_write, lambda _: 0, 0)
 
             # flush request when a 1KB block boundary is crossed
             new_wp = new[_RI["wnd_pos"]]
             flushed = g("flushed_blk")
             crossed = (new_wp >> 10) > flushed
-            req[RQ_FLUSH, :] = jnp.where(crossed & live, flushed, -1)
-            upd("flushed_blk", crossed & live, flushed + 1)
+            flush_mask = crossed & live
+            req[RQ_FLUSH_P, :] = flushed
+            upd("flushed_blk", flush_mask, flushed + 1)
+
+            # ---- compacted service request ids (after all masks known)
+            emit(RQ_FLUSH_IDS, flush_mask)
+            emit(RQ_FETCH_IDS, rd_miss)
+            emit(RQ_SWAP_IDS, grp_miss)
+            emit(RQ_RC_IDS, rc_miss)
+            emit(RQ_BC_IDS, bc_miss)
 
             # pointer/overflow hardening (corrupt streams must halt, not
             # run to the step cap or overflow HBM; csc_dec.cpp:508-547)
@@ -891,20 +956,30 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             d.start()
             d.wait()
 
-            # 1) flushes (must complete before fetches may read them)
-            def fl_body(b, cnt):
-                blk = smem[RQ_FLUSH, b]
+            def serve(ids_row, issue):
+                """issue(b) per compacted id until the -1 sentinel;
+                returns the summed DMA count.  O(requests) per step."""
+                def cond(c):
+                    i, _n = c
+                    return (i < B) & (smem[ids_row, jnp.minimum(i, B - 1)]
+                                      >= 0)
 
-                def go(c):
-                    slot = pl.multiple_of((blk & 1) * 8, 8)
-                    dst = pl.multiple_of(blk * 8, 8)
-                    pltpu.make_async_copy(
-                        out_t.at[b, pl.ds(slot, 8), :],
-                        wnd_out.at[b, pl.ds(dst, 8), :],
-                        sem_fl).start()
-                    return c + 1
-                return jax.lax.cond(blk >= 0, go, lambda c: c, cnt)
-            nfl = jax.lax.fori_loop(0, B, fl_body, 0)
+                def body(c):
+                    i, n = c
+                    return i + 1, n + issue(smem[ids_row, i])
+                return jax.lax.while_loop(
+                    cond, body, (jnp.int32(0), jnp.int32(0)))[1]
+
+            # 1) flushes (must complete before fetches may read them)
+            def fl_issue(b):
+                blk = smem[RQ_FLUSH_P, b]
+                slot = pl.multiple_of((blk & 1) * 8, 8)
+                dst = pl.multiple_of(blk * 8, 8)
+                pltpu.make_async_copy(out_t.at[b, pl.ds(slot, 8), :],
+                                      wnd_out.at[b, pl.ds(dst, 8), :],
+                                      sem_fl).start()
+                return jnp.int32(1)
+            nfl = serve(RQ_FLUSH_IDS, fl_issue)
 
             def fl_wait(i, _):
                 pltpu.make_async_copy(
@@ -914,89 +989,72 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             jax.lax.fori_loop(0, nfl, fl_wait, 0)
 
             # 2) rd fetches + group swaps + coder refills
-            def ft_body(b, cnt):
-                fb = smem[RQ_FETCH, b]
+            def ft_issue(b):
+                src = pl.multiple_of(smem[RQ_FETCH_P, b], 8)
+                pltpu.make_async_copy(wnd_out.at[b, pl.ds(src, 16), :],
+                                      rd_t.at[b, :, :], sem_ft).start()
+                return jnp.int32(1)
+            nft = serve(RQ_FETCH_IDS, ft_issue)
 
-                def go(c):
-                    src = pl.multiple_of(fb, 8)
-                    pltpu.make_async_copy(
-                        wnd_out.at[b, pl.ds(src, 16), :],
-                        rd_t.at[b, :, :], sem_ft).start()
-                    return c + 1
-                return jax.lax.cond(fb >= 0, go, lambda c: c, cnt)
-            nft = jax.lax.fori_loop(0, B, ft_body, 0)
-
-            def sw_body(b, cnt):
+            def sw_issue(b):
                 nkey = smem[RQ_SWAP_NEW, b]
+                okey = smem[RQ_SWAP_OLD, b]
+                nslot = smem[RQ_SWAP_SLOT, b]
+                oslot = 1 - nslot
 
-                def go(c):
-                    okey = smem[RQ_SWAP_OLD, b]
-                    nslot = smem[RQ_SWAP_SLOT, b]
-                    oslot = 1 - nslot
+                def wb(c2):
+                    osl = pl.multiple_of(oslot * 8, 8)
+                    od = pl.multiple_of((okey & 63) * 8, 8)
 
-                    def wb(c2):
-                        osl = pl.multiple_of(oslot * 8, 8)
-                        od = pl.multiple_of((okey & 63) * 8, 8)
-
-                        def to_lit(_):
-                            pltpu.make_async_copy(
-                                grp.at[b, pl.ds(osl, 8), :],
-                                plit_out.at[b, pl.ds(od, 8), :],
-                                sem_sw).start()
-                            return 0
-
-                        def to_dlt(_):
-                            pltpu.make_async_copy(
-                                grp.at[b, pl.ds(osl, 8), :],
-                                pdlt_out.at[b, pl.ds(od, 8), :],
-                                sem_sw).start()
-                            return 0
-                        jax.lax.cond(okey < 64, to_lit, to_dlt, 0)
-                        return c2 + 1
-                    c = jax.lax.cond(okey >= 0, wb, lambda c2: c2, c)
-
-                    nsl = pl.multiple_of(nslot * 8, 8)
-                    nd_ = pl.multiple_of((nkey & 63) * 8, 8)
-
-                    def from_lit(_):
+                    def to_lit(_):
                         pltpu.make_async_copy(
-                            plit_out.at[b, pl.ds(nd_, 8), :],
-                            grp.at[b, pl.ds(nsl, 8), :], sem_sw).start()
+                            grp.at[b, pl.ds(osl, 8), :],
+                            plit_out.at[b, pl.ds(od, 8), :],
+                            sem_sw).start()
                         return 0
 
-                    def from_dlt(_):
+                    def to_dlt(_):
                         pltpu.make_async_copy(
-                            pdlt_out.at[b, pl.ds(nd_, 8), :],
-                            grp.at[b, pl.ds(nsl, 8), :], sem_sw).start()
+                            grp.at[b, pl.ds(osl, 8), :],
+                            pdlt_out.at[b, pl.ds(od, 8), :],
+                            sem_sw).start()
                         return 0
-                    jax.lax.cond(nkey < 64, from_lit, from_dlt, 0)
-                    return c + 1
-                return jax.lax.cond(nkey >= 0, go, lambda c: c, cnt)
-            nsw = jax.lax.fori_loop(0, B, sw_body, 0)
+                    jax.lax.cond(okey < 64, to_lit, to_dlt, 0)
+                    return c2 + 1
+                c = jax.lax.cond(okey >= 0, wb, lambda c2: c2,
+                                 jnp.int32(1))
 
-            def rcb_body(b, cnt):
-                rb = smem[RQ_RC, b]
+                nsl = pl.multiple_of(nslot * 8, 8)
+                nd_ = pl.multiple_of((nkey & 63) * 8, 8)
 
-                def go(c):
-                    src = pl.multiple_of(rb, 8)
+                def from_lit(_):
                     pltpu.make_async_copy(
-                        rc_hbm.at[b, pl.ds(src, 16), :],
-                        rc_t.at[b, :, :], sem_rc).start()
-                    return c + 1
-                return jax.lax.cond(rb >= 0, go, lambda c: c, cnt)
-            nrc = jax.lax.fori_loop(0, B, rcb_body, 0)
+                        plit_out.at[b, pl.ds(nd_, 8), :],
+                        grp.at[b, pl.ds(nsl, 8), :], sem_sw).start()
+                    return 0
 
-            def bcb_body(b, cnt):
-                bb = smem[RQ_BC, b]
-
-                def go(c):
-                    src = pl.multiple_of(bb, 8)
+                def from_dlt(_):
                     pltpu.make_async_copy(
-                        bc_hbm.at[b, pl.ds(src, 16), :],
-                        bc_t.at[b, :, :], sem_bc).start()
-                    return c + 1
-                return jax.lax.cond(bb >= 0, go, lambda c: c, cnt)
-            nbc = jax.lax.fori_loop(0, B, bcb_body, 0)
+                        pdlt_out.at[b, pl.ds(nd_, 8), :],
+                        grp.at[b, pl.ds(nsl, 8), :], sem_sw).start()
+                    return 0
+                jax.lax.cond(nkey < 64, from_lit, from_dlt, 0)
+                return c
+            nsw = serve(RQ_SWAP_IDS, sw_issue)
+
+            def rc_issue(b):
+                src = pl.multiple_of(smem[RQ_RC_P, b], 8)
+                pltpu.make_async_copy(rc_hbm.at[b, pl.ds(src, 16), :],
+                                      rc_t.at[b, :, :], sem_rc).start()
+                return jnp.int32(1)
+            nrc = serve(RQ_RC_IDS, rc_issue)
+
+            def bc_issue(b):
+                src = pl.multiple_of(smem[RQ_BC_P, b], 8)
+                pltpu.make_async_copy(bc_hbm.at[b, pl.ds(src, 16), :],
+                                      bc_t.at[b, :, :], sem_bc).start()
+                return jnp.int32(1)
+            nbc = serve(RQ_BC_IDS, bc_issue)
 
             def drain(n, sem, ref_src, ref_dst):
                 def w(i, _):
@@ -1042,15 +1100,15 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
         steps_ref[0, 0] = steps
 
         # ---------------- epilogue: flush pending output blocks --------
-        req[RQ_FLUSH, :] = rgf[_RI["flushed_blk"]]
-        req[RQ_FETCH, :] = rgf[_RI["wnd_pos"]]
+        req[RQ_FLUSH_P, :] = rgf[_RI["flushed_blk"]]
+        req[RQ_FETCH_P, :] = rgf[_RI["wnd_pos"]]
         d = pltpu.make_async_copy(req, smem, sem_req)
         d.start()
         d.wait()
 
         def ep_body(b, cnt):
-            fblk = smem[RQ_FLUSH, b]
-            wp = smem[RQ_FETCH, b]
+            fblk = smem[RQ_FLUSH_P, b]
+            wp = smem[RQ_FETCH_P, b]
             last = wp >> 10
             last = jnp.minimum(last, (NWS // 8) - 1)
 
@@ -1140,7 +1198,9 @@ def _run(B, NWS, NRCS, NBCS, NB, interpret,
         out_shape=out_shapes,
         input_output_aliases={6: 0, 7: 1, 8: 2},
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=100 * 1024 * 1024),
         **grid_kwargs,
     )(max_steps, rc_ends, bc_ends, regs, rc_hbm, bc_hbm, wnd, plit, pdlt)
 
