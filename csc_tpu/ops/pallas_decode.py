@@ -53,7 +53,9 @@ from .decode_scan import (
 # kernel-only FSM state: coder (re)priming after init / chunk reset
 F_PRIME = 22
 
-NP_SMALL = 1280          # small prob tables, one-hot width (>= 1164 used)
+NP_ROWS = 12             # small prob tables as [B, NP_ROWS, 128] tile
+                         # (1164 entries used; tiled so the per-step
+                         # 256-lane state window stages into registers)
 TS = 16                  # tile sublanes (2 blocks of 8)
 BLK = 1024               # DMA block, elements
 TILE = TS * 128          # 2048
@@ -148,8 +150,8 @@ def _tile_gather(tile_refs, sub, lane, use_first=None):
     return jnp.sum(jnp.where(lane_oh, rowsel, 0), axis=1)
 
 
-def _tile_pair(tile_refs, sub, use_first=None):
-    """[B,256] = rows sub and (sub+1)&15 concatenated."""
+def _tile_pair(tile_refs, sub, use_first=None, nrows=TS):
+    """[B,256] = rows sub and (sub+1)%nrows concatenated."""
     B = sub.shape[0]
     if isinstance(tile_refs, tuple):
         ra, rb = tile_refs
@@ -157,8 +159,8 @@ def _tile_pair(tile_refs, sub, use_first=None):
         ra, rb = tile_refs, None
     lo = jnp.zeros((B, 128), jnp.int32)
     hi = jnp.zeros((B, 128), jnp.int32)
-    sub1 = (sub + 1) & (TS - 1)
-    for s in range(TS):
+    sub1 = (sub + 1) % nrows
+    for s in range(nrows):
         row = ra[:, s, :]
         if rb is not None:
             row = jnp.where(_col(use_first), row, rb[:, s, :])
@@ -201,6 +203,7 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
     arrays.  NB: framing block table width."""
     import os as _os
     _ABL = set(filter(None, _os.environ.get("PDK_ABL", "").split(",")))
+    KBITS = int(_os.environ.get("PDK_KBITS", "4"))
 
 
     def kernel(max_steps_ref,            # SMEM (1,1)
@@ -213,7 +216,7 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                regs_out,                  # VMEM [NR, B]
                blklog_ref,                # VMEM [B, 2*max_blocks] (out)
                steps_ref,                 # SMEM (1, 1) out
-               probs,                     # scratch VMEM [B, NP_SMALL]
+               probs,                     # scratch VMEM [B, NP_ROWS, 128]
                grp, out_t, rd_t, rc_t, bc_t,   # scratch [B,TS,128]
                req,                       # scratch VMEM [NRQ, B] i32
                smem,                      # scratch SMEM [NRQ, B]
@@ -223,13 +226,12 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
         # and interpret mode only reflects writes made via the output ref.
         del wnd_hbm, plit_hbm, pdlt_hbm
         barange = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)[:, 0]
-        lane_np = jax.lax.broadcasted_iota(jnp.int32, (B, NP_SMALL), 1)
         lane128 = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
         lane256 = jax.lax.broadcasted_iota(jnp.int32, (B, 256), 1)
         lane_nb = jax.lax.broadcasted_iota(jnp.int32, (B, NB), 1)
         lane_log = jax.lax.broadcasted_iota(jnp.int32, (B, 2 * max_blocks), 1)
 
-        probs[:] = jnp.full((B, NP_SMALL), 2048, jnp.int32)
+        probs[:] = jnp.full((B, NP_ROWS, 128), 2048, jnp.int32)
         blklog_ref[:] = jnp.zeros((B, 2 * max_blocks), jnp.int32)
 
         def ends_gather(ends_ref, idx):
@@ -285,7 +287,8 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             is_cpy0 = (opclass == 2) & live
             is_prm0 = (opclass == 4) & live
 
-            rc_need = jnp.where(is_prm0, 5, jnp.where(is_bit0, 1, 0))
+            rc_need = jnp.where(is_prm0, 5,
+                                jnp.where(is_bit0, KBITS, 0))
             rc_miss = (rc_need > 0) & ((rc_ptr < rc_base)
                                        | (rc_ptr + rc_need > rc_base + TILE))
             bc_miss = is_dir0 & ((bc_ptr < bc_base)
@@ -362,69 +365,169 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             use_small = is_bit & ~uses_grp
             pidx = jnp.where(use_small, pidx, 0)
 
-            # group-cache index: slot*1024 + (ctx&3)*256 + node
+            # group-cache access is by tree node within the staged
+            # 256-entry ctx subtree (see lit_pair below)
             use_gc = is_bit & uses_grp
-            gidx = grp_slot * BLK + (ctx & 3) * 256 + node
-            gidx = jnp.where(use_gc, gidx, 0)
-            gsub = gidx >> 7
-            glane = gidx & 127
 
-            # rc refill BEFORE the bit (csc_dec.cpp:11-22)
-            rc_range = g("rc_range")
-            rc_code = g("rc_code")
-            need_refill = is_bit & _ult(rc_range,
-                                        jnp.int32(1 << 24))
-            roff = rc_ptr - rc_base
-            rbyte = jax.lax.cond(
-                jnp.any(need_refill),
-                lambda: _tile_gather(rc_t, jnp.clip(roff >> 7, 0, TS - 1),
-                                     roff & 127),
-                lambda: jnp.zeros((B,), jnp.int32))
-            rng = jnp.where(need_refill, rc_range << 8, rc_range)
-            code = jnp.where(need_refill, (rc_code << 8) + rbyte, rc_code)
-            rc_ptr2 = jnp.where(need_refill, rc_ptr + 1, rc_ptr)
+            # ---- K-bit unrolled range decode.  Bit 0 serves every BIT
+            # state; bits 1..K-1 continue only streams still descending
+            # the SAME probability tree (fsm is unchanged during tree
+            # descent), so the regular transition code below runs once on
+            # the final node.  Each inner bit sees the previous bit's
+            # adapted probabilities (RMW applied between bits).
+            rng = g("rc_range")
+            code = g("rc_code")
+            rc_ptrc = rc_ptr
             rc_blk = g("rc_blk")
-            rc_end = ends_gather(rc_ends_ref, jnp.clip(rc_blk, 0, NB - 1))
-            rc_blk = jnp.where(need_refill & (rc_ptr2 >= rc_end),
-                               rc_blk + 1, rc_blk)
+            bit = jnp.zeros((B,), jnp.bool_)
+            nnode = node
 
-            # gather probability (each table class gated on whether any
-            # stream uses it this step)
-            oh_small = lane_np == pidx[:, None]
-            p_small = jax.lax.cond(
-                jnp.any(use_small),
-                lambda: jnp.sum(jnp.where(oh_small, probs[:], 0), axis=1),
-                lambda: jnp.zeros((B,), jnp.int32))
-            p_gc = jax.lax.cond(
+            # the whole literal/entropy tree descent hits ONE 256-entry
+            # ctx subtree (2 tile rows): stage it into a register pair so
+            # per-bit group access is a [B,256] one-hot, and write it back
+            # once after the K bits (csc_model.h:104 layout)
+            gsub_lit = grp_slot * 8 + (ctx & 3) * 2
+            lit_pair = jax.lax.cond(
                 jnp.any(use_gc),
-                lambda: _tile_gather(grp, gsub, glane),
-                lambda: jnp.zeros((B,), jnp.int32))
-            p = jnp.where(use_gc, p_gc, p_small)
+                lambda: _tile_pair(grp, gsub_lit),
+                lambda: jnp.zeros((B, 256), jnp.int32))
 
-            bound = _i32(_u32(jnp.where(is_bit, rng, 0)) >> 12) * p
-            bit = _ult(code, bound) & is_bit
-            new_p = jnp.where(bit, p + ((0xFFF - p) >> 5), p - (p >> 5))
-            # write back prob (masked one-hot RMW)
-            def _rmw_small(_):
-                probs[:] = jnp.where(oh_small & _col(use_small),
-                                     jnp.broadcast_to(new_p[:, None],
-                                                      (B, NP_SMALL)),
-                                     probs[:])
-                return 0
+            # stage the next <=256 coder bytes as a register pair too: a
+            # K-bit step refills at most K bytes, all within the window
+            # (stall check guarantees rc tile residency for K bytes)
+            roff0 = rc_ptr - rc_base
+            rc_win_base = rc_base + (roff0 & ~127)
+            rc_pair = jax.lax.cond(
+                jnp.any(is_bit),
+                lambda: _tile_pair(rc_t, jnp.clip(roff0 >> 7, 0, TS - 1)),
+                lambda: jnp.zeros((B, 256), jnp.int32))
 
-            def _rmw_gc(_):
-                goh = lane128 == glane[:, None]
+            # ...and the small-table window: every small-table index a
+            # stream can touch during this step lies in ONE 256-lane
+            # window anchored by its bit-0 state (trees never change fsm
+            # mid-descent; all spans <=128, see csc_model.h tables)
+            base_small = jnp.zeros_like(node)
+            for _c, _v in [
+                    ((fsm == F_FLAG1) | (fsm == F_FLAG2)
+                     | (fsm == F_FLAG3), P_STATE + mstate3),
+                    (fsm == F_REPTREE, P_REPDIST + mstate3),
+                    ((fsm == F_LENSLOT0) | (fsm == F_LENSLOT1),
+                     jnp.full_like(node, P_MLSLOT)),
+                    (fsm == F_LENTREE3,
+                     jnp.where(g("len_tbl") == 1, P_MLEX1, P_MLEX2)),
+                    (fsm == F_LENTREE7, jnp.full_like(node, P_MLEX3)),
+                    (fsm == F_LONGLEN, jnp.full_like(node, P_LONGLEN)),
+                    (fsm == F_DISTSLOT, P_DIST + g("pdist_pos")),
+                    (fsm == F_DISTEXTRA,
+                     P_MDEXTRA + (g("ebits") - 1) * 16)]:
+                base_small = jnp.where(_c, _v, base_small)
+            win_base = base_small & ~127
+            win_row = jnp.clip(win_base >> 7, 0, NP_ROWS - 2)
+            small_pair = jax.lax.cond(
+                jnp.any(use_small),
+                lambda: _tile_pair(probs, win_row, nrows=NP_ROWS),
+                lambda: jnp.zeros((B, 256), jnp.int32))
+
+            for ibit in range(KBITS):
+                if ibit == 0:
+                    act = is_bit
+                    use_gc_i = use_gc
+                    use_small_i = use_small
+                    pidx_i = pidx
+                else:
+                    tree_lim = jnp.zeros_like(node)
+                    for _f, _l in ((F_LITTREE, 0x100), (F_REPTREE, 4),
+                                   (F_LENTREE3, 8), (F_LENTREE7, 0x80),
+                                   (F_DISTEXTRA, 0x10),
+                                   (F_ENTTREE, 0x100)):
+                        tree_lim = jnp.where(fsm == _f, _l, tree_lim)
+                    tree_lim = jnp.where(
+                        fsm == F_DISTSLOT,
+                        1 << jnp.clip(g("sbits"), 0, 5), tree_lim)
+                    act = is_bit & (tree_lim > 0) & (nnode < tree_lim)
+                    use_gc_i = act & uses_grp
+                    use_small_i = act & ~uses_grp
+                    pidx_i = jnp.zeros_like(node)
+                    for _c, _v in [
+                            (fsm == F_REPTREE,
+                             P_REPDIST + mstate3 + nnode - 1),
+                            (fsm == F_LENTREE3,
+                             jnp.where(g("len_tbl") == 1, P_MLEX1,
+                                       P_MLEX2) + nnode),
+                            (fsm == F_LENTREE7, P_MLEX3 + nnode),
+                            (fsm == F_DISTSLOT,
+                             P_DIST + g("pdist_pos") + nnode),
+                            (fsm == F_DISTEXTRA,
+                             P_MDEXTRA + (g("ebits") - 1) * 16 + nnode)]:
+                        pidx_i = jnp.where(_c, _v, pidx_i)
+                    pidx_i = jnp.where(use_small_i, pidx_i, 0)
+
+                # rc refill BEFORE the bit (csc_dec.cpp:11-22)
+                need = act & _ult(rng, jnp.int32(1 << 24))
+                woff = jnp.clip(rc_ptrc - rc_win_base, 0, 255)
+                rbyte = jnp.sum(jnp.where(lane256 == woff[:, None],
+                                          rc_pair, 0), axis=1)
+                rng = jnp.where(need, rng << 8, rng)
+                code = jnp.where(need, (code << 8) + rbyte, code)
+                rc_ptrc = jnp.where(need, rc_ptrc + 1, rc_ptrc)
+                rc_end = ends_gather(rc_ends_ref,
+                                     jnp.clip(rc_blk, 0, NB - 1))
+                rc_blk = jnp.where(need & (rc_ptrc >= rc_end),
+                                   rc_blk + 1, rc_blk)
+
+                # gather probability from the staged register pairs
+                swoff = jnp.clip(pidx_i - win_base, 0, 255)
+                oh_small = lane256 == jnp.where(use_small_i,
+                                                swoff, -1)[:, None]
+                p_small = jnp.sum(jnp.where(oh_small, small_pair, 0),
+                                  axis=1)
+                oh_gc = lane256 == jnp.where(use_gc_i, nnode, 0)[:, None]
+                p_gc = jnp.sum(jnp.where(oh_gc, lit_pair, 0), axis=1)
+                p = jnp.where(use_gc_i, p_gc, p_small)
+
+                bound = _i32(_u32(jnp.where(act, rng, 0)) >> 12) * p
+                b_i = _ult(code, bound) & act
+                new_p = jnp.where(b_i, p + ((0xFFF - p) >> 5),
+                                  p - (p >> 5))
+
+                # adapt in the register pairs; flushed after the K bits
+                small_pair = jnp.where(
+                    oh_small & _col(use_small_i),
+                    jnp.broadcast_to(new_p[:, None], (B, 256)),
+                    small_pair)
+                lit_pair = jnp.where(
+                    oh_gc & _col(use_gc_i),
+                    jnp.broadcast_to(new_p[:, None], (B, 256)), lit_pair)
+                rng = jnp.where(act, jnp.where(b_i, bound, rng - bound),
+                                rng)
+                code = jnp.where(act & ~b_i, code - bound, code)
+                if ibit == 0:
+                    bit = b_i
+                nnode = jnp.where(act, nnode * 2 + jnp.where(b_i, 1, 0),
+                                  nnode)
+
+            def _wb_pair(_):
                 for s in range(TS):
-                    m = use_gc & (gsub == s)
-                    grp[:, s, :] = jnp.where(goh & _col(m),
-                                             jnp.broadcast_to(
-                                                 new_p[:, None], (B, 128)),
-                                             grp[:, s, :])
+                    lo_m = use_gc & (gsub_lit == s)
+                    hi_m = use_gc & (gsub_lit + 1 == s)
+                    grp[:, s, :] = jnp.where(
+                        _col(lo_m), lit_pair[:, :128],
+                        jnp.where(_col(hi_m), lit_pair[:, 128:],
+                                  grp[:, s, :]))
                 return 0
-            jax.lax.cond(jnp.any(use_small), _rmw_small, lambda _: 0, 0)
-            jax.lax.cond(jnp.any(use_gc), _rmw_gc, lambda _: 0, 0)
-            rng = jnp.where(is_bit, jnp.where(bit, bound, rng - bound), rng)
-            code = jnp.where(is_bit & ~bit, code - bound, code)
+            jax.lax.cond(jnp.any(use_gc), _wb_pair, lambda _: 0, 0)
+
+            def _wb_small(_):
+                for s in range(NP_ROWS):
+                    lo_m = use_small & (win_row == s)
+                    hi_m = use_small & (win_row + 1 == s)
+                    probs[:, s, :] = jnp.where(
+                        _col(lo_m), small_pair[:, :128],
+                        jnp.where(_col(hi_m), small_pair[:, 128:],
+                                  probs[:, s, :]))
+                return 0
+            jax.lax.cond(jnp.any(use_small), _wb_small, lambda _: 0, 0)
+            rc_ptr2 = rc_ptrc
 
             # =================== DIRECT micro-op =========================
             direct_rem = g("direct_rem")
@@ -553,7 +656,7 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             upd("node", cb, 1)
 
             # --- LITTREE
-            nnode = node * 2 + jnp.where(bit, 1, 0)
+            # nnode accumulated by the K-bit loop above
             c = is_bit & (fsm == F_LITTREE)
             lit_done = c & (nnode >= 0x100)
             lit_byte = nnode & 0xFF
@@ -928,7 +1031,7 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                                             new[_RI["rc_code"]])
             new[_RI["rc_range"]] = jnp.where(is_bit, rng,
                                              new[_RI["rc_range"]])
-            new[_RI["rc_ptr"]] = jnp.where(need_refill, rc_ptr2,
+            new[_RI["rc_ptr"]] = jnp.where(is_bit, rc_ptr2,
                                            new[_RI["rc_ptr"]])
             new[_RI["rc_blk"]] = jnp.where(is_bit, rc_blk,
                                            new[_RI["rc_blk"]])
@@ -1177,7 +1280,7 @@ def _run(B, NWS, NRCS, NBCS, NB, interpret,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((B, NP_SMALL), jnp.int32),           # probs
+            pltpu.VMEM((B, NP_ROWS, 128), jnp.int32),       # probs
             pltpu.VMEM((B, TS, 128), jnp.int32),            # grp
             pltpu.VMEM((B, TS, 128), jnp.int32),            # out_t
             pltpu.VMEM((B, TS, 128), jnp.int32),            # rd_t
