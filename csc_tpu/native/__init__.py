@@ -45,6 +45,9 @@ def _load():
                                       ctypes.c_uint32]
     lib.csc_delta_inverse.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
                                       ctypes.c_uint32]
+    lib.csc_dict_forward.restype = ctypes.c_int32
+    lib.csc_dict_forward.argtypes = [ctypes.c_char_p, ctypes.c_uint64]
+    lib.csc_dict_inverse.argtypes = [ctypes.c_char_p, ctypes.c_uint64]
     lib.csc_analyze.restype = ctypes.c_uint32
     lib.csc_analyze.argtypes = [ctypes.c_char_p, ctypes.c_uint32,
                                 ctypes.POINTER(ctypes.c_uint32)]
@@ -86,6 +89,27 @@ def e89_inverse(buf: bytearray):
         inverse_e89(buf, len(buf))
         return
     _inplace(lib.csc_e89_inverse, buf)
+
+
+def dict_forward(buf: bytearray) -> bool:
+    lib = _load()
+    if lib is None:
+        from ..golden.filters import forward_dict
+        return forward_dict(buf, len(buf))
+    raw = ctypes.create_string_buffer(bytes(buf), len(buf))
+    ok = lib.csc_dict_forward(raw, len(buf))
+    if ok:
+        buf[:] = raw.raw[:len(buf)]
+    return bool(ok)
+
+
+def dict_inverse(buf: bytearray):
+    lib = _load()
+    if lib is None:
+        from ..golden.filters import inverse_dict
+        inverse_dict(buf, len(buf))
+        return
+    _inplace(lib.csc_dict_inverse, buf)
 
 
 def delta_forward(buf: bytearray, chn: int):

@@ -140,6 +140,139 @@ void csc_delta_inverse(uint8_t *buf, uint64_t n, uint32_t chn) {
 }
 
 // ---------------------------------------------------------------------
+// English dictionary transform (csc_filters.cpp:256-368): a trie over the
+// 123-word list maps common fragments to symbols 0x82.., escaping raw
+// bytes >= 0x82 with 254.  Word list and thresholds are format spec.
+// ---------------------------------------------------------------------
+static const char *kWords[] = {
+    "",
+    "ac", "ad", "ai", "al", "am", "an", "ar", "as", "at", "ea",
+    "ec", "ed", "ee", "el", "en", "er", "es", "et", "id", "ie",
+    "ig", "il", "in", "io", "is", "it", "of", "ol", "on", "oo",
+    "or", "os", "ou", "ow", "ul", "un", "ur", "us", "ba", "be",
+    "ca", "ce", "co", "ch", "de", "di", "ge", "gh", "ha", "he",
+    "hi", "ho", "ra", "re", "ri", "ro", "rs", "la", "le", "li",
+    "lo", "ld", "ll", "ly", "se", "si", "so", "sh", "ss", "st",
+    "ma", "me", "mi", "ne", "nc", "nd", "ng", "nt", "pa", "pe",
+    "ta", "te", "ti", "to", "th", "tr", "wa", "ve",
+    "all", "and", "but", "dow", "for", "had", "hav", "her",
+    "him", "his", "man", "mor", "not", "now", "one", "out",
+    "she", "the", "was", "wer", "whi", "whe", "wit", "you",
+    "any", "are",
+    "that", "said", "with", "have", "this", "from", "were", "tion",
+};
+enum { kNumWords = sizeof(kWords) / sizeof(kWords[0]) };
+
+struct TrieNode {
+    int32_t next[26];
+    int32_t symbol;
+};
+static std::vector<TrieNode> g_trie;
+static int32_t g_word_of_symbol[256];
+static int32_t g_max_symbol = 0;
+
+static void dict_init() {
+    if (!g_trie.empty()) return;
+    TrieNode root;
+    memset(&root, -1, sizeof(root));
+    root.symbol = 0;
+    g_trie.push_back(root);
+    memset(g_word_of_symbol, 0, sizeof(g_word_of_symbol));
+    int32_t symbol = 0x82;
+    for (int wi = 1; wi < kNumWords; wi++) {
+        int pos = 0;
+        for (const char *p = kWords[wi]; *p; p++) {
+            int idx = *p - 'a';
+            if (g_trie[pos].next[idx] < 0) {
+                TrieNode n;
+                memset(&n, -1, sizeof(n));
+                n.symbol = 0;
+                g_trie.push_back(n);
+                g_trie[pos].next[idx] = (int32_t)g_trie.size() - 1;
+            }
+            pos = g_trie[pos].next[idx];
+        }
+        g_trie[pos].symbol = symbol;
+        g_word_of_symbol[symbol] = wi;
+        symbol++;
+    }
+    g_max_symbol = symbol;
+}
+
+// Returns 1 and rewrites buf in place (0x20-padded to n) when the
+// substituted form shrinks below 82% of the original, else 0.
+int32_t csc_dict_forward(uint8_t *buf, uint64_t n) {
+    dict_init();
+    if (n < 16384) return 0;
+    std::vector<uint8_t> dst;
+    dst.reserve(n);
+    uint64_t i = 0;
+    while (i + 5 < n) {
+        if (dst.size() > n - 16) return 0;
+        uint8_t c = buf[i];
+        if (c >= 'a' && c <= 'z') {
+            int32_t match_symbol = 0;
+            uint64_t longest = 0;
+            int pos = 0;
+            uint64_t j = 0;
+            for (;;) {
+                int idx = (int)buf[i + j] - 'a';
+                if (idx < 0 || idx > 25 || g_trie[pos].next[idx] < 0)
+                    break;
+                pos = g_trie[pos].next[idx];
+                j++;
+                if (g_trie[pos].symbol) {
+                    match_symbol = g_trie[pos].symbol;
+                    longest = j;
+                }
+            }
+            if (match_symbol) {
+                dst.push_back((uint8_t)match_symbol);
+                i += longest;
+                continue;
+            }
+            dst.push_back(c);
+            i++;
+        } else {
+            if (c >= 0x82) dst.push_back(254);
+            dst.push_back(c);
+            i++;
+        }
+    }
+    for (; i < n; i++) {
+        uint8_t c = buf[i];
+        if (c >= 0x82) dst.push_back(254);
+        dst.push_back(c);
+    }
+    if ((double)dst.size() > (double)n * 0.82) return 0;
+    memcpy(buf, dst.data(), dst.size());
+    memset(buf + dst.size(), 0x20, n - dst.size());
+    return 1;
+}
+
+void csc_dict_inverse(uint8_t *buf, uint64_t n) {
+    dict_init();
+    std::vector<uint8_t> dst;
+    dst.reserve(n);
+    uint64_t i = 0;
+    while (dst.size() < n) {
+        uint8_t c = buf[i];
+        if (c >= 0x82 && c < g_max_symbol) {
+            const char *w = kWords[g_word_of_symbol[c]];
+            for (const char *p = w; *p && dst.size() < n; p++)
+                dst.push_back((uint8_t)*p);
+        } else if (c == 254 && i + 1 < n && buf[i + 1] >= 0x82) {
+            i++;
+            dst.push_back(buf[i]);
+        } else {
+            dst.push_back(c);
+        }
+        i++;
+    }
+    memcpy(buf, dst.data(), n);
+}
+
+// ---------------------------------------------------------------------
 // Block analyzer (csc_analyzer.cpp:184-239): order-0 entropy with the
 // integer-truncated log table + content heuristics.  Returns the block
 // type; *bpb_out receives the integer bits-per-byte estimate x100.

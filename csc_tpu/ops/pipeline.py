@@ -15,9 +15,26 @@ def _bucket(n, lo=4096):
     return b
 
 from ..constants import DT_EXE, DT_ENGTXT, SIG_EOF
-from ..golden import filters
+from .. import native
 from . import framing
 from .decode_scan import make_decode_state, run_decode_jit
+
+
+def _use_pallas():
+    """Pick the decode implementation: the Pallas mega-kernel on a real
+    TPU backend, the XLA scan elsewhere (CPU tests) or when forced via
+    CSC_DECODE_IMPL={pallas,scan}."""
+    import os
+    impl = os.environ.get("CSC_DECODE_IMPL", "auto")
+    if impl == "pallas":
+        return True
+    if impl == "scan":
+        return False
+    import jax
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
 
 
 def decode_batch(props_list, blobs, positions=None, out_sizes=None,
@@ -29,8 +46,34 @@ def decode_batch(props_list, blobs, positions=None, out_sizes=None,
     Returns list[bytes] decoded outputs.
 
     Requires decoded size <= dict_size per stream (no ring wrap) — the
-    archiver's task construction guarantees this.
+    archiver's task construction guarantees this.  On a TPU backend the
+    Pallas lockstep kernel handles the batch; streams it flags
+    unsupported (DT_DLT blocks, block-log overflow) re-decode through
+    the XLA scan below.
     """
+    if _mesh is None and _use_pallas():
+        from .pallas_decode import decode_batch_pallas
+        outs, fallback, _steps = decode_batch_pallas(
+            props_list, blobs, positions, out_sizes, max_steps)
+        if fallback:
+            fb = _decode_batch_scan(
+                [props_list[i] for i in fallback],
+                [blobs[i] for i in fallback],
+                None if positions is None else [positions[i]
+                                               for i in fallback],
+                None if out_sizes is None else [out_sizes[i]
+                                                for i in fallback],
+                max_steps)
+            for j, i in enumerate(fallback):
+                outs[i] = fb[j]
+        return outs
+    return _decode_batch_scan(props_list, blobs, positions, out_sizes,
+                              max_steps, _mesh)
+
+
+def _decode_batch_scan(props_list, blobs, positions=None, out_sizes=None,
+                       max_steps=None, _mesh=None):
+    """XLA while-loop scan decode (all block types incl. DT_DLT)."""
     b = len(blobs)
     assert b > 0
     if positions is None:
@@ -98,11 +141,11 @@ def decode_batch(props_list, blobs, positions=None, out_sizes=None,
                 break
             if btype == DT_EXE:
                 seg = bytearray(raw[start:end])
-                filters.inverse_e89(seg, len(seg))
+                native.e89_inverse(seg)
                 raw[start:end] = seg
             elif btype == DT_ENGTXT:
                 seg = bytearray(raw[start:end])
-                filters.inverse_dict(seg, len(seg))
+                native.dict_inverse(seg)
                 raw[start:end] = seg
         outputs.append(bytes(raw))
     return outputs
