@@ -1,0 +1,167 @@
+"""Vectorized match-finder precompute for the TPU-native fast parse.
+
+The reference finds matches by mutating hash tables one position at a
+time (csc_mf.cpp:243-495) — a random-access pattern a TPU cannot do
+fast.  The TPU-native reformulation: candidates are *previous
+occurrences of the same hash*, so for the no-window-wrap archiver case
+they can all be computed up front with batched sorts and gathers, and
+their match lengths with data-parallel word-compare sweeps.  The
+sequential parse then only folds precomputed candidates (plus live
+rep-distance probes) per token.
+
+Approximation vs the reference finder (documented, format-safe): the
+occurrence chains treat EVERY position as inserted, while the reference
+skips ht6 inserts on the stride-4 fast path inside matches >=129 bytes
+(csc_mf.cpp:145) and dedups consecutive same-hash MTF shifts.  Streams
+with such matches may parse slightly differently — output remains a
+valid CSC stream with equivalent ratio; the bit-exact XLA/golden paths
+remain available (CSC_ENCODE_PARSE=exact).
+
+Hash functions mirror csc_mf.cpp:26-43 exactly (same table sizes), and
+lookahead bytes at each 8KB sub-block boundary are masked to zero the
+way the reference's window copy makes them (csc_lz.cpp:63-67).
+"""
+import functools
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+MASK32 = 0xFFFFFFFF
+EXT_CAP = 64        # bulk extension cap; longer matches extend in-kernel
+
+
+def _u32(x):
+    return x.astype(jnp.uint32)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _hashes(data, blk_end, hash_bits, N):
+    """h2/h3/h6 per position with sub-block lookahead masking."""
+    d = data.astype(jnp.uint32)
+    z = jnp.zeros((data.shape[0], 8), jnp.uint32)
+    dd = jnp.concatenate([d, z], axis=1)
+    in4 = (dd[:, :N] | (dd[:, 1:N + 1] << 8) | (dd[:, 2:N + 2] << 16)
+           | (dd[:, 3:N + 3] << 24))
+    in2 = dd[:, :N] | (dd[:, 1:N + 1] << 8)
+    v2b = dd[:, 4:N + 4] | (dd[:, 5:N + 5] << 8)
+
+    pos = jnp.arange(N, dtype=jnp.int32)[None, :]
+    rem = blk_end - pos
+    m4 = jnp.where(rem >= 4, jnp.uint32(0xFFFFFFFF),
+                   jnp.where(rem == 3, jnp.uint32(0x00FFFFFF),
+                             jnp.where(rem == 2, jnp.uint32(0x0000FFFF),
+                                       jnp.where(rem == 1,
+                                                 jnp.uint32(0xFF),
+                                                 jnp.uint32(0)))))
+    rem2 = rem - 4
+    m2b = jnp.where(rem2 >= 2, jnp.uint32(0xFFFF),
+                    jnp.where(rem2 == 1, jnp.uint32(0xFF), jnp.uint32(0)))
+    m2 = jnp.where(rem >= 2, jnp.uint32(0xFFFF),
+                   jnp.where(rem == 1, jnp.uint32(0xFF), jnp.uint32(0)))
+    v2 = in2 & m2
+    v4 = in4 & m4
+    v2bm = v2b & m2b
+
+    h2 = ((v2 * 65521) & 0x3FFF).astype(jnp.int32)
+    b0 = v2 & 0xFF
+    b1 = (v2 >> 8) & 0xFF
+    b2 = (v4 >> 16) & 0xFF
+    h3 = (((b0 << 8) ^ (b1 << 5) ^ b2) & 0xFFFF).astype(jnp.int32)
+    h6full = ((v4 ^ (v2bm << 13)) * jnp.uint32(2654435761))
+    h6 = (h6full >> (32 - hash_bits)).astype(jnp.int32)
+    return in4, h2, h3, h6
+
+
+@jax.jit
+def _prev_occ(h):
+    """prev[p] = largest q < p with h[q] == h[p], else -1 (batched)."""
+    B, N = h.shape
+    order = jnp.argsort(h, axis=1, stable=True)      # pos grouped by hash
+    h_s = jnp.take_along_axis(h, order, axis=1)
+    prev_s = jnp.where(h_s[:, 1:] == h_s[:, :-1], order[:, :-1], -1)
+    prev_s = jnp.concatenate(
+        [jnp.full((B, 1), -1, jnp.int32), prev_s.astype(jnp.int32)],
+        axis=1)
+    out = jnp.zeros_like(h)
+    return jnp.put_along_axis(out, order, prev_s, axis=1,
+                              inplace=False)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _ext_lens(in4, qpos, blk_end, cap):
+    """Match length between p and candidate qpos[p] (or -1), capped at
+    min(cap, blk_end[p]-p).  Data-parallel 4-byte sweeps."""
+    B, N = qpos.shape
+    pos = jnp.arange(N, dtype=jnp.int32)[None, :]
+    climit = jnp.minimum(blk_end - pos, cap)
+    l = jnp.zeros((B, N), jnp.int32)
+    active = qpos >= 0
+
+    def body(carry):
+        l, active = carry
+        pi = jnp.clip(pos + l, 0, N - 1)
+        qi = jnp.clip(qpos + l, 0, N - 1)
+        w1 = jnp.take_along_axis(in4, pi, axis=1)
+        w2 = jnp.take_along_axis(in4, qi, axis=1)
+        x = w1 ^ w2
+        eq = jnp.where(x == 0, 4,
+                       jnp.where((x & 0xFF) != 0, 0,
+                                 jnp.where((x & 0xFFFF) != 0, 1,
+                                           jnp.where((x & 0xFFFFFF) != 0,
+                                                     2, 3))))
+        adv = jnp.minimum(eq, jnp.maximum(climit - l, 0))
+        l = jnp.where(active, l + adv, l)
+        active = active & (eq == 4) & (adv == 4) & (l < climit)
+        return l, active
+
+    def cond(carry):
+        return jnp.any(carry[1])
+
+    l, _ = jax.lax.while_loop(cond, body, (l, active))
+    return l
+
+
+def precompute_candidates(data_np, sizes, run_ends_np, hash_bits,
+                          hash_width, cap=EXT_CAP):
+    """data_np: [B, N] u8; run_ends_np: [B, R] cumulative run ends.
+
+    Returns (cand [B, C, N] int32 with C = 2*(2+hash_width) as
+    (dist, len) pairs ordered ht2, ht3, ht6_0..w-1; dist 0 = no
+    candidate; len == cap means 'extend live'), plus blk_end [B, N]."""
+    B, N = data_np.shape
+    R = run_ends_np.shape[1]
+    pos = np.arange(N, dtype=np.int32)[None, :]
+    run_idx = np.zeros((B, N), np.int32)
+    for r in range(R):
+        run_idx += (pos >= run_ends_np[:, r:r + 1]).astype(np.int32)
+    starts = np.concatenate([np.zeros((B, 1), np.int32),
+                             run_ends_np[:, :-1]], axis=1)
+    run_start = np.take_along_axis(
+        starts, np.clip(run_idx, 0, R - 1), axis=1)
+    run_end = np.take_along_axis(
+        run_ends_np, np.clip(run_idx, 0, R - 1), axis=1)
+    blk_off = run_start + ((pos - run_start) // 8192) * 8192
+    blk_end = np.minimum(blk_off + 8192, run_end).astype(np.int32)
+
+    data_d = jnp.asarray(data_np)
+    blk_end_d = jnp.asarray(blk_end)
+    in4, h2, h3, h6 = _hashes(data_d, blk_end_d, int(hash_bits), N)
+
+    chains = [_prev_occ(h2), _prev_occ(h3)]
+    p6 = _prev_occ(h6)
+    chains.append(p6)
+    cur = p6
+    for _ in range(1, int(hash_width)):
+        nxt = jnp.take_along_axis(cur, jnp.clip(cur, 0, N - 1), axis=1)
+        cur = jnp.where(cur >= 0, nxt, -1)
+        chains.append(cur)
+
+    out = []
+    for q in chains:
+        ln = _ext_lens(in4, q, blk_end_d, int(cap))
+        dist = jnp.where(q >= 0,
+                         jnp.arange(N, dtype=jnp.int32)[None, :] - q, 0)
+        out.append(dist)
+        out.append(ln)
+    cand = np.asarray(jnp.stack(out, axis=1))   # [B, C, N]
+    return cand, blk_end

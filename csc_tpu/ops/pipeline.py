@@ -302,6 +302,26 @@ def encode_batch(props_list, datas):
 
     max_rc = 2 * n + 4096
     max_bc = n + 4096
+
+    # phase B: Pallas kernel on TPU (CSC_ENCODE_BITS={auto,pallas,scan})
+    import os as _os
+    _impl = _os.environ.get("CSC_ENCODE_BITS", "auto")
+    _pb = _impl == "pallas" or (_impl == "auto"
+                                and jax.default_backend() != "cpu")
+    if _pb:
+        from .pallas_encode import encode_bits_pallas
+        rcs, bcs, rcmap, bcmap, chunk_ends, errs = encode_bits_pallas(
+            tkk, taa, tbb, tcc, max_rc, max_bc, bsize=65536,
+            interpret=(jax.default_backend() == "cpu"))
+        for j, i in enumerate(idxs):
+            if errs[j]:
+                outs[i] = golden_encode(props_list[i], datas[i])
+                continue
+            outs[i] = encode_host.remux_stream(
+                65536, rcs[j], bcs[j], rcmap[j], bcmap[j], regs=None,
+                chunk_ends=chunk_ends[j])
+        return outs
+
     BSIZE_REF[0] = 65536
     bst = make_bits_state(bb, tkk, taa, tbb, tcc, max_rc, max_bc)
     fbits_jit = jax.jit(run_bits)
