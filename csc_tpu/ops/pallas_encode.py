@@ -156,10 +156,13 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
             is_bitst = _false
             for f in _BIT_STATES:
                 is_bitst = is_bitst | (fsm == f)
-            is_next0 = live & (fsm == F_NEXT)
-            is_int = live & (fsm == F_INT)
-            is_dird = live & (fsm == F_DISTDIRECT)
-            is_flush = live & (fsm == F_FLUSH)
+            # a pending carry run blocks every state until drained
+            # (encode_bits.py: active = alive & pending == 0)
+            quiet = g("pending") == 0
+            is_next0 = live & quiet & (fsm == F_NEXT)
+            is_int = live & quiet & (fsm == F_INT)
+            is_dird = live & quiet & (fsm == F_DISTDIRECT)
+            is_flush = live & quiet & (fsm == F_FLUSH)
 
             # ---- resource checks -> stalls + requests
             # token tile residency (4 lanes per token)
@@ -301,7 +304,7 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
                 lls_done = (fsm == F_LONGLEN) & (len_left < 0)
                 state_open = state_open & ~lls_done
 
-                drain = is_bit & state_open & (pending > 0)
+                drain = live & (pending > 0)
                 act = is_bit & state_open & (pending == 0)
 
                 # serve pending carry-run bytes first

@@ -163,5 +163,7 @@ def precompute_candidates(data_np, sizes, run_ends_np, hash_bits,
                          jnp.arange(N, dtype=jnp.int32)[None, :] - q, 0)
         out.append(dist)
         out.append(ln)
-    cand = np.asarray(jnp.stack(out, axis=1))   # [B, C, N]
+    # stays on device: [B, C, N] feeds make_fast_state directly (the
+    # axon host<->device tunnel is ~20 MB/s; never round-trip this)
+    cand = jnp.stack(out, axis=1)
     return cand, blk_end

@@ -173,6 +173,9 @@ def encode_batch(props_list, datas):
                               K_FLUSH, BSIZE_REF)
     from ..constants import DT_ENGTXT
 
+    import time as _time
+    _dbg = bool(__import__("os").environ.get("CSC_ENC_DEBUG"))
+    _t0 = _time.time()
     b = len(datas)
     plans = []
     for props, data in zip(props_list, datas):
@@ -233,20 +236,38 @@ def encode_batch(props_list, datas):
         run_ends[j, len(rt):] = acc
     p0 = props_list[idxs[0]]
     max_tokens = n + 2 * maxrun + 8
-    st, cfg = make_encode_state(bb, data_arr, sizes, dict_sizes,
-                                p0.hash_bits, p0.hash_width, p0.good_len,
-                                p0.lz_mode == 2, max_tokens,
-                                run_ends=run_ends)
-    fparse = jax.jit(run_parse, static_argnames=())
-    # cfg is a dict of python ints: hash via tuple for jit staticness
-    fparse_jit = jax.jit(lambda s, ms: run_parse(s, cfg, ms))
-    final, remaining = st, 64 * n + 4096
+    import os as _os2
+    _pmode = _os2.environ.get("CSC_ENCODE_PARSE", "auto")
+    _fast = _pmode == "fast" or (_pmode == "auto"
+                                 and jax.default_backend() != "cpu")
+    if _fast and p0.lz_mode == 2:
+        # TPU-native parse: precomputed hash-chain candidates + fold
+        # parser (ratio-equivalent, not bit-identical; see parse_pre.py)
+        from .parse_pre import precompute_candidates
+        from .encode_scan_fast import make_fast_state, fast_parse_fn
+        cand, _ = precompute_candidates(data_arr, sizes, run_ends,
+                                        p0.hash_bits, p0.hash_width)
+        st, cfg = make_fast_state(bb, data_arr, sizes, dict_sizes, cand,
+                                  run_ends, max_tokens, p0.hash_width)
+        fparse_jit = fast_parse_fn(p0.hash_width, 1, p0.good_len)
+        remaining = 8 * n + 4096
+    else:
+        st, cfg = make_encode_state(bb, data_arr, sizes, dict_sizes,
+                                    p0.hash_bits, p0.hash_width,
+                                    p0.good_len, p0.lz_mode == 2,
+                                    max_tokens, run_ends=run_ends)
+        # cfg is a dict of python ints: hash via tuple for jit staticness
+        fparse_jit = jax.jit(lambda s, ms: run_parse(s, cfg, ms))
+        remaining = 64 * n + 4096
+    final = st
     SEG = 400_000
     while remaining > 0:
         final, seg = fparse_jit(final, jnp.int32(min(SEG, remaining)))
         remaining -= int(seg)
         if bool(np.asarray(jnp.all(final["done"] == 1))):
             break
+    if _dbg:
+        print(f"[enc] parse done {_time.time() - _t0:.2f}s")
     tk = np.asarray(final["tok_kind"])
     ta = np.asarray(final["tok_a"])
     tb = np.asarray(final["tok_b"])
@@ -300,6 +321,8 @@ def encode_batch(props_list, datas):
         tbb[j, :len(bbs)] = bbs
         tcc[j, :len(ccs)] = ccs
 
+    if _dbg:
+        print(f"[enc] stitch done {_time.time() - _t0:.2f}s")
     max_rc = 2 * n + 4096
     max_bc = n + 4096
 
@@ -313,6 +336,8 @@ def encode_batch(props_list, datas):
         rcs, bcs, rcmap, bcmap, chunk_ends, errs = encode_bits_pallas(
             tkk, taa, tbb, tcc, max_rc, max_bc, bsize=65536,
             interpret=(jax.default_backend() == "cpu"))
+        if _dbg:
+            print(f"[enc] bits done {_time.time() - _t0:.2f}s")
         for j, i in enumerate(idxs):
             if errs[j]:
                 outs[i] = golden_encode(props_list[i], datas[i])
@@ -320,6 +345,8 @@ def encode_batch(props_list, datas):
             outs[i] = encode_host.remux_stream(
                 65536, rcs[j], bcs[j], rcmap[j], bcmap[j], regs=None,
                 chunk_ends=chunk_ends[j])
+        if _dbg:
+            print(f"[enc] remux done {_time.time() - _t0:.2f}s")
         return outs
 
     BSIZE_REF[0] = 65536
