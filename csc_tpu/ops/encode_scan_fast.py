@@ -72,9 +72,13 @@ def make_fast_state(batch, data, sizes, dict_sizes, cand, run_ends,
     st["blk_len"] = z
     st["blk_i"] = z
     st["probe2"] = z
+    st["armed"] = z
     st["have_u1"] = z
     st["u1_len"] = z
     st["u1_dist"] = z
+    # precomputed candidates staged into registers at arm time
+    st["cand_d"] = jnp.zeros((batch, cand.shape[1] // 2), jnp.int32)
+    st["cand_l"] = jnp.zeros((batch, cand.shape[1] // 2), jnp.int32)
     # live extension lanes: 4 reps + capped-ht continuations
     NL = 4 + cand.shape[1] // 2
     st["ext_q"] = jnp.full((batch, NL), -1, jnp.int32)
@@ -91,6 +95,10 @@ def make_fast_state(batch, data, sizes, dict_sizes, cand, run_ends,
 
 def _gather(tbl, idx):
     return jnp.take_along_axis(tbl, idx[:, None], axis=1)[:, 0]
+
+
+def _colm(m):
+    return m[:, None]
 
 
 @jax.jit
@@ -160,16 +168,21 @@ def fast_parse_step(st, cfg, good_len):
     upd("blk_i", start_blk, 0)
     upd("have_u1", start_blk, 0)
     go = (c & ~need_new) | start_blk
-    upd("fsm", go & (st["have_u1"] == 1), FB_PICK)
-    upd("fsm", go & (st["have_u1"] == 0), FB_FIND)
+    upd("fsm", go, FB_FIND)
+    upd("armed", go, 0)
     upd("probe2", go & (st["have_u1"] == 0), 0)
 
-    # ---------------- FB_FIND: arm live extension lanes ----------------
+    # ---------------- FB_FIND (fused arm + extend + pick) --------------
     c = active & (fsm == FB_FIND)
     ppos = wpos + st["probe2"]
     limit = st["blk_len"] - st["blk_i"] - st["probe2"]
-    # rep lanes 0..3 (a rep distance reaching before the window start —
-    # e.g. the dict_size init values — can never match real data)
+    need_find = (st["have_u1"] == 0) | (st["probe2"] == 1)
+    fresh = c & (st["armed"] == 0) & need_find
+
+    # ---- arm: rep lanes 0..3 (a rep distance reaching before the
+    # window start — e.g. the dict_size init — can never match) + capped
+    # ht continuation lanes, and stage the precomputed candidates into
+    # registers so the pick fold does no gathers
     lanes_q = []
     for k in range(4):
         dk = st["reps"][:, k]
@@ -177,31 +190,33 @@ def fast_parse_step(st, cfg, good_len):
         lanes_q.append(jnp.where((dk > 0) & (qk >= 0), qk, -1))
     lanes_lim = [limit] * 4
     lanes_l0 = [jnp.zeros_like(ppos)] * 4
-    # capped ht lanes: continue extension beyond EXT_CAP
     ncand = 2 + w
+    cds, cls = [], []
     for ci in range(ncand):
         d = st["cand"][:, 2 * ci, :]
         ln = st["cand"][:, 2 * ci + 1, :]
         dv = _gather(d, jnp.clip(ppos, 0, d.shape[1] - 1))
         lv = _gather(ln, jnp.clip(ppos, 0, ln.shape[1] - 1))
+        cds.append(dv)
+        cls.append(lv)
         need = (lv >= EXT_CAP) & (limit > EXT_CAP) & (dv > 0)
         lanes_q.append(jnp.where(need, ppos - dv, -1))
         lanes_lim.append(limit)
         lanes_l0.append(jnp.where(need, jnp.full_like(lv, EXT_CAP), 0))
-    ext_q = jnp.stack(lanes_q, axis=1)
-    ext_lim = jnp.stack(lanes_lim, axis=1)
-    ext_l = jnp.stack(lanes_l0, axis=1)
-    upd("ext_q", c[:, None], ext_q)
-    upd("ext_lim", c[:, None], ext_lim)
-    upd("ext_l", c[:, None], ext_l)
-    upd("fsm", c, FB_EXT)
+    q = jnp.where(_colm(fresh), jnp.stack(lanes_q, axis=1), st["ext_q"])
+    lim = jnp.where(_colm(fresh), jnp.stack(lanes_lim, axis=1),
+                    st["ext_lim"])
+    l = jnp.where(_colm(fresh), jnp.stack(lanes_l0, axis=1), st["ext_l"])
+    cand_d = jnp.where(_colm(fresh), jnp.stack(cds, axis=1),
+                       st["cand_d"])
+    cand_l = jnp.where(_colm(fresh), jnp.stack(cls, axis=1),
+                       st["cand_l"])
+    new["cand_d"] = cand_d
+    new["cand_l"] = cand_l
+    upd("armed", fresh, 1)
+    arming = fresh | (c & (st["armed"] == 1))
 
-    # ---------------- FB_EXT: extend all lanes, 32B per step -----------
-    c = active & (fsm == FB_EXT)
-    q = new["ext_q"]
-    l = new["ext_l"]
-    lim = new["ext_lim"]
-    ppos = wpos + st["probe2"]
+    # ---- extend all live lanes, 32B per step
     in4 = st["in4"]
     Nw = in4.shape[1]
     alive_l = (q >= 0) & (l < lim)
@@ -217,17 +232,16 @@ def fast_parse_step(st, cfg, good_len):
                                            jnp.where((x & 0xFFFFFF) != 0,
                                                      2, 3))))
         adv = jnp.minimum(eq, jnp.maximum(lim - l, 0))
-        l = jnp.where(alive_l & c[:, None], l + adv, l)
+        l = jnp.where(alive_l & arming[:, None], l + adv, l)
         alive_l = alive_l & (eq == 4) & (adv == 4) & (l < lim)
-    new["ext_l"] = l
-    still = c & jnp.any(alive_l, axis=1)
-    upd("fsm", c & ~still, FB_PICK)
+    new["ext_q"] = jnp.where(_colm(arming), q, st["ext_q"])
+    new["ext_lim"] = jnp.where(_colm(arming), lim, st["ext_lim"])
+    new["ext_l"] = jnp.where(_colm(arming), l, st["ext_l"])
+    settled = arming & ~jnp.any(alive_l, axis=1)
 
-    # ---------------- FB_PICK: fold + lazy decision --------------------
-    c = active & (fsm == FB_PICK)
+    # ---- pick: fold + lazy decision, same step when extensions settle
+    c = (c & (st["armed"] == 0) & ~need_find) | settled
     probe2 = st["probe2"] == 1
-    ppos = wpos + st["probe2"]
-    limit = st["blk_len"] - st["blk_i"] - st["probe2"]
     ext_l = new["ext_l"]
 
     # fold candidates in find_match order (csc_mf.cpp:243-495)
@@ -268,13 +282,10 @@ def fast_parse_step(st, cfg, good_len):
     # ht probes: distance-gate chain + validity + len/dist record gate
     # (csc_mf.cpp:302-365,441-495); minlen grows on 'better' even when
     # the record gate fails
-    ncand = 2 + w
     bound_tbl = jnp.asarray(_BOUND)
     for ci in range(ncand):
-        d_arr = st["cand"][:, 2 * ci, :]
-        l_arr = st["cand"][:, 2 * ci + 1, :]
-        dv = _gather(d_arr, jnp.clip(ppos, 0, d_arr.shape[1] - 1))
-        lv = _gather(l_arr, jnp.clip(ppos, 0, l_arr.shape[1] - 1))
+        dv = cand_d[:, ci]
+        lv = cand_l[:, ci]
         # live continuation replaces the capped length
         lv = jnp.where(new["ext_q"][:, 4 + ci] >= 0, ext_l[:, 4 + ci], lv)
         lv = jnp.minimum(lv, limit)
@@ -308,13 +319,12 @@ def fast_parse_step(st, cfg, good_len):
     upd("blk_i", take_now, st["blk_i"] + u1_len)
     upd("wpos", take_now, wpos + u1_len)
     upd("have_u1", take_now, 0)
-    upd("fsm", take_now, FB_BLOCK)
 
     go2 = first & ~take_now
     upd("u1_len", go2, u1_len)
     upd("u1_dist", go2, u1_dist)
     upd("probe2", go2, 1)
-    upd("fsm", go2, FB_FIND)
+    upd("armed", go2, 0)
 
     second = c & probe2
     smb = _second_better(st["u1_len"], st["u1_dist"], u_len, u_dist)
@@ -327,7 +337,6 @@ def fast_parse_step(st, cfg, good_len):
     upd("u1_dist", lit, u_dist)
     upd("have_u1", lit, 1)
     upd("probe2", lit, 0)
-    upd("fsm", lit, FB_BLOCK)
 
     mt = second & ~smb
     _emit_token(new, st, mt, st["u1_len"], st["u1_dist"], wpos)
@@ -335,7 +344,12 @@ def fast_parse_step(st, cfg, good_len):
     upd("wpos", mt, wpos + st["u1_len"])
     upd("have_u1", mt, 0)
     upd("probe2", mt, 0)
-    upd("fsm", mt, FB_BLOCK)
+
+    # after an emit: next token directly unless the sub-block ended
+    emitted = take_now | lit | mt
+    upd("armed", emitted, 0)
+    boundary = emitted & (new["blk_i"] >= st["blk_len"])
+    upd("fsm", boundary, FB_BLOCK)
     return new
 
 

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 MASK32 = 0xFFFFFFFF
-EXT_CAP = 64        # bulk extension cap; longer matches extend in-kernel
+EXT_CAP = 32        # bulk extension cap; longer matches extend live
 
 
 def _u32(x):
@@ -145,25 +145,43 @@ def precompute_candidates(data_np, sizes, run_ends_np, hash_bits,
 
     data_d = jnp.asarray(data_np)
     blk_end_d = jnp.asarray(blk_end)
-    in4, h2, h3, h6 = _hashes(data_d, blk_end_d, int(hash_bits), N)
+    cand = _precompute_dev(data_d, blk_end_d, int(hash_bits),
+                           int(hash_width), int(cap))
+    return cand, blk_end
 
-    chains = [_prev_occ(h2), _prev_occ(h3)]
-    p6 = _prev_occ(h6)
-    chains.append(p6)
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _precompute_dev(data_d, blk_end_d, hash_bits, hash_width, cap):
+    """One fused device program: hashes, all prev-occurrence chains in a
+    single stacked argsort, all extension lengths in a single stacked
+    compare sweep (batched big ops beat many medium ones on TPU)."""
+    B, N = data_d.shape
+    in4, h2, h3, h6 = _hashes(data_d, blk_end_d, hash_bits, N)
+
+    # one argsort for all three hash streams
+    hs = jnp.concatenate([h2, h3, h6], axis=0)           # [3B, N]
+    prev = _prev_occ(hs)
+    p2, p3, p6 = prev[:B], prev[B:2 * B], prev[2 * B:]
+    chains = [p2, p3, p6]
     cur = p6
-    for _ in range(1, int(hash_width)):
+    for _ in range(1, hash_width):
         nxt = jnp.take_along_axis(cur, jnp.clip(cur, 0, N - 1), axis=1)
         cur = jnp.where(cur >= 0, nxt, -1)
         chains.append(cur)
 
+    # one extension sweep for every chain (stacked along batch)
+    nc = len(chains)
+    qs = jnp.concatenate(chains, axis=0)                 # [nc*B, N]
+    in4_t = jnp.tile(in4, (nc, 1))
+    blk_t = jnp.tile(blk_end_d, (nc, 1))
+    lns = _ext_lens(in4_t, qs, blk_t, cap)
+
     out = []
-    for q in chains:
-        ln = _ext_lens(in4, q, blk_end_d, int(cap))
-        dist = jnp.where(q >= 0,
-                         jnp.arange(N, dtype=jnp.int32)[None, :] - q, 0)
+    posn = jnp.arange(N, dtype=jnp.int32)[None, :]
+    for k, q in enumerate(chains):
+        dist = jnp.where(q >= 0, posn - q, 0)
         out.append(dist)
-        out.append(ln)
+        out.append(lns[k * B:(k + 1) * B])
     # stays on device: [B, C, N] feeds make_fast_state directly (the
     # axon host<->device tunnel is ~20 MB/s; never round-trip this)
-    cand = jnp.stack(out, axis=1)
-    return cand, blk_end
+    return jnp.stack(out, axis=1)

@@ -240,6 +240,8 @@ def encode_batch(props_list, datas):
     _pmode = _os2.environ.get("CSC_ENCODE_PARSE", "auto")
     _fast = _pmode == "fast" or (_pmode == "auto"
                                  and jax.default_backend() != "cpu")
+    if _dbg:
+        print(f"[enc] plans done {_time.time() - _t0:.2f}s")
     if _fast and p0.lz_mode == 2:
         # TPU-native parse: precomputed hash-chain candidates + fold
         # parser (ratio-equivalent, not bit-identical; see parse_pre.py)
@@ -247,6 +249,9 @@ def encode_batch(props_list, datas):
         from .encode_scan_fast import make_fast_state, fast_parse_fn
         cand, _ = precompute_candidates(data_arr, sizes, run_ends,
                                         p0.hash_bits, p0.hash_width)
+        if _dbg:
+            cand.block_until_ready()
+            print(f"[enc] precompute done {_time.time() - _t0:.2f}s")
         st, cfg = make_fast_state(bb, data_arr, sizes, dict_sizes, cand,
                                   run_ends, max_tokens, p0.hash_width)
         fparse_jit = fast_parse_fn(p0.hash_width, 1, p0.good_len)
@@ -268,45 +273,75 @@ def encode_batch(props_list, datas):
             break
     if _dbg:
         print(f"[enc] parse done {_time.time() - _t0:.2f}s")
-    tk = np.asarray(final["tok_kind"])
-    ta = np.asarray(final["tok_a"])
-    tb = np.asarray(final["tok_b"])
-    tcx = np.asarray(final["tok_c"])
+    # pull only the used token prefix over the (slow) tunnel
     tc = np.asarray(final["tok_cnt"])
+    _tl = _bucket(int(tc.max()) + 2, 256)
+    _tl = min(_tl, final["tok_kind"].shape[1])
+    tk = np.asarray(final["tok_kind"][:, :_tl])
+    ta = np.asarray(final["tok_a"][:, :_tl])
+    tb = np.asarray(final["tok_b"][:, :_tl])
+    tcx = np.asarray(final["tok_c"][:, :_tl])
     if not np.asarray(final["done"]).all():
         raise RuntimeError("encode parse scan hit step cap")
 
     # ---- host tape stitching: wrap runs with EncodeInt tokens ----------
+    # vectorized: every parsed token widens to 1 output slot except the
+    # run sentinels, which expand to [K_SENT, K_INT(cont), K_FLUSH?,
+    # K_INT(next type), K_INT(dsize)?]; plus a per-run-table prologue
     tapes = []
     for j, rt in enumerate(run_tables):
-        kinds, aas, bbs, ccs = [], [], [], []
+        nt = int(tc[j])
+        kk = tk[j, :nt]
+        sent = kk == K_SENT_A
+        sent_r = np.cumsum(sent) - 1        # run index per sentinel token
+        R = len(rt)
+        cl = np.array([1 if r[3] else 0 for r in rt], np.int32)
+        rtype = np.array([r[0] for r in rt], np.int32)
+        rextra = np.array([r[2] for r in rt], np.int32)
+        is_eng = (rtype == DT_ENGTXT).astype(np.int32)
+        ri = np.clip(sent_r, 0, R - 1)
+        nxt = np.clip(ri + 1, 0, R - 1)
+        has_next = (ri + 1 < R).astype(np.int32)
+        width = np.ones(nt, np.int32)
+        width[sent] = (2 + cl[ri[sent]]
+                       + has_next[sent] * (1 + is_eng[nxt[sent]]))
+        prologue = 1 + int(is_eng[0])
+        pos = prologue + np.concatenate(
+            [[0], np.cumsum(width)[:-1]]).astype(np.int32)
+        total = prologue + int(width.sum())
 
-        def put(k_, a_=0, b_=0, c_=0):
-            kinds.append(int(k_)); aas.append(int(a_))
-            bbs.append(int(b_)); ccs.append(int(c_))
-
-        toks = list(zip(tk[j, :tc[j]], ta[j, :tc[j]], tb[j, :tc[j]],
-                        tcx[j, :tc[j]]))
-        run_i = 0
-        put(K_INT, rt[0][0])
-        if rt[0][0] == DT_ENGTXT:
-            put(K_INT, rt[0][2])
-        for kk, av, bv, cv in toks:
-            if kk == K_SENT_A:
-                put(K_SENT, 64, 0)
-                chunk_last = rt[run_i][3]
-                put(K_INT, 1 if chunk_last else 0)
-                if chunk_last:
-                    put(K_FLUSH)     # Coder::Flush per chunk
-                run_i += 1
-                if run_i < len(rt):
-                    put(K_INT, rt[run_i][0])
-                    if rt[run_i][0] == DT_ENGTXT:
-                        put(K_INT, rt[run_i][2])
-            elif kk == K_END:
-                put(K_END)
-            else:
-                put(kk, av, bv, cv)
+        kinds = np.zeros(total, np.int32)
+        aas = np.zeros(total, np.int32)
+        bbs = np.zeros(total, np.int32)
+        ccs = np.zeros(total, np.int32)
+        kinds[0] = K_INT
+        aas[0] = int(rtype[0])
+        if is_eng[0]:
+            kinds[1] = K_INT
+            aas[1] = int(rextra[0])
+        # normal tokens (incl. K_END) land at their slot
+        norm = ~sent
+        kinds[pos[norm]] = kk[norm]
+        aas[pos[norm]] = ta[j, :nt][norm]
+        bbs[pos[norm]] = tb[j, :nt][norm]
+        ccs[pos[norm]] = tcx[j, :nt][norm]
+        # sentinel expansions
+        sp = pos[sent]
+        kinds[sp] = K_SENT
+        aas[sp] = 64
+        kinds[sp + 1] = K_INT
+        aas[sp + 1] = cl[ri[sent]]
+        off = 2 + np.zeros(len(sp), np.int32)
+        fl = cl[ri[sent]] == 1
+        kinds[(sp + off)[fl]] = K_FLUSH
+        off = off + fl
+        hn = has_next[sent] == 1
+        kinds[(sp + off)[hn]] = K_INT
+        aas[(sp + off)[hn]] = rtype[nxt[sent]][hn]
+        off = off + hn
+        en = hn & (is_eng[nxt[sent]] == 1)
+        kinds[(sp + off)[en]] = K_INT
+        aas[(sp + off)[en]] = rextra[nxt[sent]][en]
         tapes.append((kinds, aas, bbs, ccs))
 
     tlen = _bucket(max(len(t[0]) for t in tapes), 1024)
