@@ -1,0 +1,81 @@
+"""TPU-native fast parse (precomputed-chain finder): correctness bar.
+
+The fast parse may legally differ from the reference's token choices
+(parse_pre.py documents the chain approximation), so the tests assert
+what the format requires — round-trip through the golden decoder and
+the reference binary — plus the empirically stable m1 byte-identity on
+corpora without >=EXT_CAP-quirk matches, and a ratio envelope.
+"""
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from csc_tpu.props import props_init, write_properties
+from csc_tpu.golden.encoder import encode_stream
+from csc_tpu.golden.api import decompress_stream
+
+
+@pytest.fixture(autouse=True)
+def _force_fast(monkeypatch):
+    monkeypatch.setenv("CSC_ENCODE_PARSE", "fast")
+    monkeypatch.setenv("CSC_ENCODE_BITS", "scan")
+
+
+def _props(level=1, ds=32 * 1024):
+    p = props_init(ds, level)
+    p.DLTFilter = p.EXEFilter = p.TXTFilter = 0
+    return p
+
+
+def _mk_text(n, seed=0):
+    rng = np.random.default_rng(seed)
+    words = [b"the", b"quick", b"brown", b"compression", b"window",
+             b"entropy", b"coder", b"range", b"match", b"finder"]
+    out = bytearray()
+    while len(out) < n:
+        out += words[rng.integers(len(words))] + b" "
+    return bytes(out[:n])
+
+
+def test_fast_parse_roundtrip_and_m1_identity(corpus_dir):
+    from csc_tpu.ops.pipeline import encode_batch
+    with open(os.path.join(corpus_dir, "corpus_text1m.bin"), "rb") as f:
+        text = f.read(16384)
+    datas = [text, _mk_text(3000, 1),
+             (b"A" * 5000 + _mk_text(2000, 3) + b"A" * 5000)]
+    ps = [_props(1) for _ in datas]
+    outs = encode_batch(ps, datas)
+    for p, o, d in zip(ps, outs, datas):
+        assert decompress_stream(p, o, 0) == d
+        # m1 parses have been byte-identical on every test corpus
+        assert o == encode_stream(p, d)
+
+
+def test_fast_parse_m2_ratio_envelope(corpus_dir):
+    from csc_tpu.ops.pipeline import encode_batch
+    with open(os.path.join(corpus_dir, "corpus_text1m.bin"), "rb") as f:
+        text = f.read(16384)
+    p = _props(2)
+    o = encode_batch([p], [text])[0]
+    assert decompress_stream(p, o, 0) == text
+    g = encode_stream(p, text)
+    assert len(o) <= len(g) * 1.06, (len(o), len(g))
+
+
+def test_fast_parse_reference_binary_decodes(ref_build, tmp_path,
+                                             corpus_dir):
+    from csc_tpu.ops.pipeline import encode_batch
+    with open(os.path.join(corpus_dir, "corpus_text1m.bin"), "rb") as f:
+        text = f.read(16384)
+    p = props_init(len(text), 2)   # filters ON: DT_ENGTXT runs included
+    o = encode_batch([p], [text])[0]
+    blob = write_properties(p) + o
+    src = tmp_path / "f.csc"
+    src.write_bytes(blob)
+    out = tmp_path / "f.out"
+    r = subprocess.run([os.path.join(ref_build, "decomp"), str(src),
+                        str(out)], capture_output=True)
+    assert r.returncode == 0, r.stderr.decode()
+    assert out.read_bytes() == text
