@@ -20,6 +20,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REF_DEC_MBPS = 30.9   # BASELINE.md: corpus_text -m1 decode, 1 core
+REF_ENC_MBPS = 13.8   # BASELINE.md: corpus_text -m1 encode, 1 core
 
 
 def main():
@@ -73,16 +74,36 @@ def main():
     ok = ok and all(o == c for o, c in zip(outs, chunks))
 
     mbps = (B * CH) / (t1 - t0) / 1e6
+
+    # encode metric (fast parse + Pallas phase B); round-trip verified
+    from csc_tpu.ops.pipeline import encode_batch
+    from csc_tpu.props import props_init
+    EB = int(os.environ.get("BENCH_ENC_STREAMS", "96"))
+    eprops = [props_init(CH, 1) for _ in range(EB)]
+    for p in eprops:
+        p.DLTFilter = p.EXEFilter = p.TXTFilter = 0
+    enc_in = chunks[:EB]
+    eouts = encode_batch(eprops, enc_in)         # compile + warm
+    t2 = time.time()
+    eouts = encode_batch(eprops, enc_in)
+    t3 = time.time()
+    eok = all(decode_batch([p], [o], [0], out_sizes=[CH])[0] == d
+              for p, o, d in zip(eprops[:4], eouts[:4], enc_in[:4]))
+    embps = (EB * CH) / (t3 - t2) / 1e6
+
     print(json.dumps({
-        "metric": "batched_decode_throughput" + ("" if ok else "_INVALID"),
+        "metric": "batched_decode_throughput"
+                  + ("" if ok and eok else "_INVALID"),
         "value": round(mbps, 3),
         "unit": "MB/s",
         "vs_baseline": round(mbps / REF_DEC_MBPS, 4),
         "streams": B,
         "chunk_bytes": CH,
         "wall_s": round(t1 - t0, 3),
+        "encode_mbps": round(embps, 3),
+        "encode_vs_ref_1core": round(embps / REF_ENC_MBPS, 4),
     }))
-    return 0 if ok else 1
+    return 0 if (ok and eok) else 1
 
 
 if __name__ == "__main__":
