@@ -33,6 +33,7 @@ B_DISTEXTRA = 9
 B_DISTDIRECT = 10
 B_INT = 11
 B_FLUSH = 12      # 5 ShiftLows + bc pads, then coder reset
+B_RAW = 13        # direct raw bytes (CompressBad, csc_model.cpp:463-469)
 
 _DIST_TABLE = np.array(DIST_TABLE, np.int64)
 _REV16 = np.array(REV16_TABLE, np.int32)
@@ -40,6 +41,8 @@ _REV16 = np.array(REV16_TABLE, np.int32)
 K_INT = 10        # host token: EncodeInt(tok_a)
 K_SENT = 11       # host token: EncodeMatch(64, 0) block sentinel
 K_FLUSH = 12      # host token: Coder::Flush chunk boundary
+K_RAW = 6         # CompressBad payload: tok_a = 1-2 raw bytes, tok_b = bits
+K_ELIT = 7        # CompressLiterals payload: order-1 literal, no LZ flags
 
 _BIT_STATES = (B_FLAG, B_LITTREE, B_REPTREE, B_LENSLOT, B_LENTREE,
                B_LONGLEN, B_DISTSLOT, B_DISTEXTRA)
@@ -437,6 +440,12 @@ def encode_bits_step(st):
     upd("node", dd_done, 1)
     upd("fsm", dd_done, B_DISTEXTRA)
 
+    # RAW (CompressBad byte payload: tok_a bytes, tok_b bits)
+    c = active & (fsm == B_RAW)
+    enc_direct(c, jnp.where(c, st["va"].astype(jnp.uint32), 0),
+               jnp.where(c, st["vb"], 0))
+    upd("fsm", c, B_NEXT)
+
     # INT (EncodeInt, csc_model.cpp:389-414; values here are < 2^16)
     c = active & (fsm == B_INT)
     v = st["va"]
@@ -534,7 +543,16 @@ def encode_bits_step(st):
     is_fl = c & (k == K_FLUSH)
     upd("fsm", is_fl, B_FLUSH)
     upd("flush_i", is_fl, 0)
-    is_tok = c & (k != K_END) & (k != K_INT) & (k != K_FLUSH)
+    is_raw = c & (k == K_RAW)
+    upd("fsm", is_raw, B_RAW)
+    # ELIT: straight into the literal tree, no LZ flags, mstate untouched
+    # (CompressLiterals, csc_model.cpp:448-461)
+    is_el = c & (k == K_ELIT)
+    upd("fsm", is_el, B_LITTREE)
+    upd("node", is_el, 1)
+    upd("bits_c", is_el, a | 0x100)
+    is_tok = c & (k != K_END) & (k != K_INT) & (k != K_FLUSH) \
+        & (k != K_RAW) & (k != K_ELIT)
     upd("fsm", is_tok, B_FLAG)
 
     # ---------------- carry-run drain ------------------------------------

@@ -58,6 +58,31 @@ class PersistentCoder:
             self._write_block(bytes(self.bc_buf), 0)
             self.bc_size = 0
 
+    def put_rc_bulk(self, data):
+        """Append many rc bytes (slice copies, not per-byte python)."""
+        i, n = 0, len(data)
+        while i < n:
+            take = min(self.bsize - self.rc_size, n - i)
+            self.rc_buf[self.rc_size:self.rc_size + take] = \
+                data[i:i + take]
+            self.rc_size += take
+            i += take
+            if self.rc_size == self.bsize:
+                self._write_block(bytes(self.rc_buf), 1)
+                self.rc_size = 0
+
+    def put_bc_bulk(self, data):
+        i, n = 0, len(data)
+        while i < n:
+            take = min(self.bsize - self.bc_size, n - i)
+            self.bc_buf[self.bc_size:self.bc_size + take] = \
+                data[i:i + take]
+            self.bc_size += take
+            i += take
+            if self.bc_size == self.bsize:
+                self._write_block(bytes(self.bc_buf), 0)
+                self.bc_size = 0
+
     def flush_chunk(self, low, lowhi, cache, cachesize, bc_val, bc_bits):
         """Coder::Flush from the final registers of a chunk."""
         # 5 ShiftLows
@@ -118,30 +143,24 @@ def remux_stream(bsize, rc_bytes, bc_bytes, rc_blkmap, bc_blkmap, regs=None,
     bc_done = 0
     for ev in events:
         if ev[2] == 0:
-            for b in rc_bytes[rc_done:(ev[3] + 1) * bsize]:
-                pc.put_rc(b)
+            pc.put_rc_bulk(rc_bytes[rc_done:(ev[3] + 1) * bsize])
             rc_done = (ev[3] + 1) * bsize
         elif ev[2] == 1:
-            for b in bc_bytes[bc_done:(ev[3] + 1) * bsize]:
-                pc.put_bc(b)
+            pc.put_bc_bulk(bc_bytes[bc_done:(ev[3] + 1) * bsize])
             bc_done = (ev[3] + 1) * bsize
         else:
             # chunk boundary: drain to (rce, bce), skip byte, write blocks
-            for b in rc_bytes[rc_done:ev[0]]:
-                pc.put_rc(b)
+            pc.put_rc_bulk(rc_bytes[rc_done:ev[0]])
             rc_done = ev[0]
-            for b in bc_bytes[bc_done:ev[1]]:
-                pc.put_bc(b)
+            pc.put_bc_bulk(bc_bytes[bc_done:ev[1]])
             bc_done = ev[1]
             pc.rc_size += 1            # flush skip byte (stale content)
             pc._write_block(bytes(pc.rc_buf[:pc.rc_size]), 1)
             pc._write_block(bytes(pc.bc_buf[:pc.bc_size]), 0)
             pc.rc_size = 0
             pc.bc_size = 0
-    for b in rc_bytes[rc_done:]:
-        pc.put_rc(b)
-    for b in bc_bytes[bc_done:]:
-        pc.put_bc(b)
+    pc.put_rc_bulk(rc_bytes[rc_done:])
+    pc.put_bc_bulk(bc_bytes[bc_done:])
     if regs is not None:
         pc.flush_chunk(*regs)
 
@@ -161,14 +180,18 @@ def remux_stream(bsize, rc_bytes, bc_bytes, rc_blkmap, bc_blkmap, regs=None,
     return bytes(pc.out)
 
 
-def plan_stream(props, data):
+def plan_stream(props, data, allow_nolz=False):
     """Analyzer pre-pass: produce the filtered LZ input + run table, or
-    None when the stream needs the golden path (non-LZ block types,
+    None when the stream needs the golden path (DLT block types,
     multi-chunk, optimal parser, BT finder).
 
     Returns (lz_input: bytes, runs: [(type, filtered_len, declared_size)]).
     Mirrors CSCEncoder::Compress (csc_encoder_main.cpp:85-146) for runs of
-    DT_NORMAL / DT_EXE / DT_ENGTXT.
+    DT_NORMAL / DT_EXE / DT_ENGTXT, plus — when allow_nolz (the fast
+    parse accepts them) — DT_BAD / DT_ENTROPY payload runs.  The
+    IsDuplicateBlock re-typing probe (csc_lz.cpp:102-112) is skipped on
+    this path: a duplicated 8KB block stays BAD/ENTROPY instead of being
+    re-LZ'd, a rare ratio-only divergence.
     """
     size = len(data)
     if size == 0:
@@ -205,8 +228,10 @@ def plan_stream(props, data):
                     t = DT_NORMAL
                 elif t >= DT_DLT and props.DLTFilter == 0:
                     t = DT_NORMAL
-            if t >= DT_NO_LZ or (DT_DLT <= t < DT_DLT + 5):
-                return None    # BAD/ENTROPY/DLT need mf-skip mode: fallback
+            if DT_DLT <= t < DT_DLT + 5:
+                return None    # DLT needs the fused RLE path: fallback
+            if t >= DT_NO_LZ and not allow_nolz:
+                return None    # BAD/ENTROPY on the exact path: fallback
             types.append((t, i, cur))
             i += cur
 
@@ -232,10 +257,12 @@ def plan_stream(props, data):
                 _native.e89_forward(seg)
                 run_table.append((DT_EXE, rsize, -1, chunk_last))
             elif t == DT_ENGTXT:
-                if g_filters.forward_dict(seg, rsize):
+                if _native.dict_forward(seg):
                     run_table.append((DT_ENGTXT, rsize, rsize, chunk_last))
                 else:
                     run_table.append((DT_NORMAL, rsize, -1, chunk_last))
+            elif t >= DT_NO_LZ:
+                run_table.append((t, rsize, rsize, chunk_last))
             else:
                 run_table.append((DT_NORMAL, rsize, -1, chunk_last))
             lz_parts.append(bytes(seg))

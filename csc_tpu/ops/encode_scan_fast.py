@@ -44,7 +44,7 @@ _BOUND[7] = 0x7FFFFFFF
 
 
 def make_fast_state(batch, data, sizes, dict_sizes, cand, run_ends,
-                    max_tokens, hash_width):
+                    max_tokens, hash_width, run_types=None):
     """data: [B,N] u8; cand: [B, C, N] i32 (dist,len pairs: ht2, ht3,
     ht6_0..w-1, from parse_pre.precompute_candidates)."""
     B, N = data.shape
@@ -66,6 +66,12 @@ def make_fast_state(batch, data, sizes, dict_sizes, cand, run_ends,
     st["run_ends"] = jnp.asarray(np.asarray(run_ends, np.int32))
     st["run_idx"] = z
     st["run_end"] = jnp.asarray(np.asarray(run_ends, np.int32)[:, 0])
+    if run_types is None:
+        run_types = np.zeros(np.asarray(run_ends).shape, np.int32)
+    # skip-parse runs (BAD/ENTROPY payloads, DT_NO_LZ=5): the tape gets
+    # only the run sentinel; the stitcher emits the payload tokens
+    st["run_skip"] = jnp.asarray(
+        (np.asarray(run_types, np.int32) >= 5).astype(np.int32))
 
     st["fsm"] = z + FB_BLOCK
     st["blk_off"] = z
@@ -162,12 +168,22 @@ def fast_parse_step(st, cfg, good_len):
     upd("done", stream_end, 1)
     upd("fsm", stream_end, FB_DONE)
     start_blk = fresh & ~stream_end
+    cur_skip = _gather(st["run_skip"],
+                       jnp.clip(new["run_idx"], 0,
+                                st["run_skip"].shape[1] - 1)) == 1
+    skip = start_blk & cur_skip
     upd("blk_off", start_blk, nboff)
     upd("blk_len", start_blk,
         jnp.minimum(st["run_end"] - nboff, 8 * 1024))
     upd("blk_i", start_blk, 0)
     upd("have_u1", start_blk, 0)
-    go = (c & ~need_new) | start_blk
+    # BAD/ENTROPY run: no parse — consume the whole run, the next
+    # FB_BLOCK step emits its sentinel
+    run_len = new["run_end"] - nboff
+    upd("blk_len", skip, run_len)
+    upd("blk_i", skip, run_len)
+    upd("wpos", skip, wpos + run_len)
+    go = (c & ~need_new) | (start_blk & ~skip)
     upd("fsm", go, FB_FIND)
     upd("armed", go, 0)
     upd("probe2", go & (st["have_u1"] == 0), 0)

@@ -31,7 +31,7 @@ from .decode_scan import (P_STATE, P_REPDIST, P_DIST, P_MDEXTRA, P_MLSLOT,
                           P_MLEX1, P_MLEX2, P_MLEX3, P_LONGLEN,
                           _PDIST_POS, _PDIST_BITS)
 from .encode_scan import K_LIT, K_MATCH, K_REP, K_REP0L1, K_END
-from .encode_bits import K_INT, K_SENT, K_FLUSH
+from .encode_bits import K_INT, K_SENT, K_FLUSH, K_RAW, K_ELIT
 from .pallas_decode import (_col, _u32, _i32, _ult, _tile_pair, _tile_gather,
                             _lut, _bucket, NP_ROWS, TS, BLK, TILE)
 
@@ -49,6 +49,7 @@ F_DISTEXTRA = 9
 F_DISTDIRECT = 10
 F_INT = 11
 F_FLUSH = 12
+F_RAW = 13
 
 _DIST_TABLE_NP = np.array(DIST_TABLE, np.int64)
 _REV16_NP = np.array(REV16_TABLE, np.int32)
@@ -161,6 +162,7 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
             quiet = g("pending") == 0
             is_next0 = live & quiet & (fsm == F_NEXT)
             is_int = live & quiet & (fsm == F_INT)
+            is_raw = live & quiet & (fsm == F_RAW)
             is_dird = live & quiet & (fsm == F_DISTDIRECT)
             is_flush = live & quiet & (fsm == F_FLUSH)
 
@@ -229,7 +231,7 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
             rc_row = (rc_wbase >> 7) & (TS - 1)
             bc_row = (bc_wbase >> 7) & (TS - 1)
             may_rc = is_bit | is_flush | (live & (g("pending") > 0))
-            may_bc = is_int | is_dird | is_flush
+            may_bc = is_int | is_dird | is_flush | is_raw
             rc_pair = jax.lax.cond(
                 jnp.any(may_rc),
                 lambda: _tile_pair(rc_t, rc_row),
@@ -615,6 +617,12 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
             upd("node", dd_done, 1)
             upd("fsm", dd_done, F_DISTEXTRA)
 
+            # RAW (CompressBad bytes: va holds 1-2 bytes, vb the width)
+            c = is_raw
+            enc_direct(c, jnp.where(c, g("va"), 0),
+                       jnp.where(c, g("vb"), 0))
+            upd("fsm", c, F_NEXT)
+
             # INT (EncodeInt; values < 2^16)
             c = is_int
             v = g("va")
@@ -730,7 +738,16 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
             t_fl = c & (k_ == K_FLUSH)
             upd("fsm", t_fl, F_FLUSH)
             upd("flush_i", t_fl, 0)
-            t_tok = c & (k_ != K_END) & (k_ != K_INT) & (k_ != K_FLUSH)
+            t_raw = c & (k_ == K_RAW)
+            upd("fsm", t_raw, F_RAW)
+            # ELIT: straight into the literal tree, no LZ flags, mstate
+            # untouched (CompressLiterals, csc_model.cpp:448-461)
+            t_el = c & (k_ == K_ELIT)
+            upd("fsm", t_el, F_LITTREE)
+            upd("node", t_el, 1)
+            upd("bits_c", t_el, a_ | 0x100)
+            t_tok = c & (k_ != K_END) & (k_ != K_INT) & (k_ != K_FLUSH) \
+                & (k_ != K_RAW) & (k_ != K_ELIT)
             upd("fsm", t_tok, F_FLAG)
 
             # ---------------- write back staged windows ---------------

@@ -171,18 +171,24 @@ def encode_batch(props_list, datas):
                               K_LIT, K_MATCH, K_REP, K_REP0L1)
     from .encode_bits import (make_bits_state, run_bits, K_INT, K_SENT,
                               K_FLUSH, BSIZE_REF)
-    from ..constants import DT_ENGTXT
+    from ..constants import DT_ENGTXT, DT_BAD, DT_NO_LZ
+    from .encode_bits import K_RAW, K_ELIT
 
+    import os as _os
     import time as _time
-    _dbg = bool(__import__("os").environ.get("CSC_ENC_DEBUG"))
+    _dbg = bool(_os.environ.get("CSC_ENC_DEBUG"))
     _t0 = _time.time()
+    _pmode = _os.environ.get("CSC_ENCODE_PARSE", "auto")
+    _fast = _pmode == "fast" or (_pmode == "auto"
+                                 and jax.default_backend() != "cpu")
     b = len(datas)
     plans = []
     for props, data in zip(props_list, datas):
         if props.csc_blocksize != 65536:
             plans.append(None)
             continue
-        plans.append(encode_host.plan_stream(props, data))
+        plans.append(encode_host.plan_stream(
+            props, data, allow_nolz=_fast and props.lz_mode == 2))
     idxs = [i for i, pl in enumerate(plans) if pl is not None]
     outs = [None] * b
 
@@ -234,12 +240,11 @@ def encode_batch(props_list, datas):
             acc += rsize
             run_ends[j, k] = acc
         run_ends[j, len(rt):] = acc
+    run_types = np.full((bb, maxrun), 0, np.int32)
+    for j, rt in enumerate(run_tables):
+        run_types[j, :len(rt)] = [r[0] for r in rt]
     p0 = props_list[idxs[0]]
     max_tokens = n + 2 * maxrun + 8
-    import os as _os2
-    _pmode = _os2.environ.get("CSC_ENCODE_PARSE", "auto")
-    _fast = _pmode == "fast" or (_pmode == "auto"
-                                 and jax.default_backend() != "cpu")
     if _dbg:
         print(f"[enc] plans done {_time.time() - _t0:.2f}s")
     if _fast and p0.lz_mode == 2:
@@ -253,7 +258,8 @@ def encode_batch(props_list, datas):
             cand.block_until_ready()
             print(f"[enc] precompute done {_time.time() - _t0:.2f}s")
         st, cfg = make_fast_state(bb, data_arr, sizes, dict_sizes, cand,
-                                  run_ends, max_tokens, p0.hash_width)
+                                  run_ends, max_tokens, p0.hash_width,
+                                  run_types=run_types)
         fparse_jit = fast_parse_fn(p0.hash_width, 1, p0.good_len)
         remaining = 8 * n + 4096
     else:
@@ -285,65 +291,75 @@ def encode_batch(props_list, datas):
         raise RuntimeError("encode parse scan hit step cap")
 
     # ---- host tape stitching: wrap runs with EncodeInt tokens ----------
-    # vectorized: every parsed token widens to 1 output slot except the
-    # run sentinels, which expand to [K_SENT, K_INT(cont), K_FLUSH?,
-    # K_INT(next type), K_INT(dsize)?]; plus a per-run-table prologue
+    # segment-based: the parse tape splits at the K_SENT_A sentinels into
+    # per-run LZ segments; BAD/ENTROPY runs carry no LZ tokens and get
+    # K_RAW/K_ELIT payload arrays generated straight from the filtered
+    # input (CompressBad/CompressLiterals, csc_model.cpp:448-469)
     tapes = []
     for j, rt in enumerate(run_tables):
         nt = int(tc[j])
         kk = tk[j, :nt]
-        sent = kk == K_SENT_A
-        sent_r = np.cumsum(sent) - 1        # run index per sentinel token
+        av = ta[j, :nt]
+        bv = tb[j, :nt]
+        cv = tcx[j, :nt]
+        sent_pos = np.flatnonzero(kk == K_SENT_A)
         R = len(rt)
-        cl = np.array([1 if r[3] else 0 for r in rt], np.int32)
-        rtype = np.array([r[0] for r in rt], np.int32)
-        rextra = np.array([r[2] for r in rt], np.int32)
-        is_eng = (rtype == DT_ENGTXT).astype(np.int32)
-        ri = np.clip(sent_r, 0, R - 1)
-        nxt = np.clip(ri + 1, 0, R - 1)
-        has_next = (ri + 1 < R).astype(np.int32)
-        width = np.ones(nt, np.int32)
-        width[sent] = (2 + cl[ri[sent]]
-                       + has_next[sent] * (1 + is_eng[nxt[sent]]))
-        prologue = 1 + int(is_eng[0])
-        pos = prologue + np.concatenate(
-            [[0], np.cumsum(width)[:-1]]).astype(np.int32)
-        total = prologue + int(width.sum())
+        offs = np.zeros(R + 1, np.int64)
+        for r in range(R):
+            offs[r + 1] = offs[r] + rt[r][1]
+        pk, pa, pb, pc_ = [], [], [], []
 
-        kinds = np.zeros(total, np.int32)
-        aas = np.zeros(total, np.int32)
-        bbs = np.zeros(total, np.int32)
-        ccs = np.zeros(total, np.int32)
-        kinds[0] = K_INT
-        aas[0] = int(rtype[0])
-        if is_eng[0]:
-            kinds[1] = K_INT
-            aas[1] = int(rextra[0])
-        # normal tokens (incl. K_END) land at their slot
-        norm = ~sent
-        kinds[pos[norm]] = kk[norm]
-        aas[pos[norm]] = ta[j, :nt][norm]
-        bbs[pos[norm]] = tb[j, :nt][norm]
-        ccs[pos[norm]] = tcx[j, :nt][norm]
-        # sentinel expansions
-        sp = pos[sent]
-        kinds[sp] = K_SENT
-        aas[sp] = 64
-        kinds[sp + 1] = K_INT
-        aas[sp + 1] = cl[ri[sent]]
-        off = 2 + np.zeros(len(sp), np.int32)
-        fl = cl[ri[sent]] == 1
-        kinds[(sp + off)[fl]] = K_FLUSH
-        off = off + fl
-        hn = has_next[sent] == 1
-        kinds[(sp + off)[hn]] = K_INT
-        aas[(sp + off)[hn]] = rtype[nxt[sent]][hn]
-        off = off + hn
-        en = hn & (is_eng[nxt[sent]] == 1)
-        kinds[(sp + off)[en]] = K_INT
-        aas[(sp + off)[en]] = rextra[nxt[sent]][en]
-        tapes.append((kinds, aas, bbs, ccs))
+        def emit(k_, a_, b_=None, c_=None):
+            k_ = np.atleast_1d(np.asarray(k_, np.int32))
+            a_ = np.atleast_1d(np.asarray(a_, np.int32))
+            pk.append(k_)
+            pa.append(a_)
+            pb.append(np.zeros(len(k_), np.int32) if b_ is None
+                      else np.atleast_1d(np.asarray(b_, np.int32)))
+            pc_.append(np.zeros(len(k_), np.int32) if c_ is None
+                       else np.atleast_1d(np.asarray(c_, np.int32)))
 
+        def emit_header(r):
+            t = rt[r][0]
+            emit([K_INT], [t])
+            if t == DT_ENGTXT or t >= DT_NO_LZ:
+                emit([K_INT], [rt[r][2]])
+
+        data_j = lz_inputs[j]
+        seg_start = 0
+        emit_header(0)
+        for r in range(R):
+            t = rt[r][0]
+            lo, hi = int(offs[r]), int(offs[r + 1])
+            if t >= DT_NO_LZ:
+                seg = np.frombuffer(data_j[lo:hi],
+                                    np.uint8).astype(np.int32)
+                if t == DT_BAD:
+                    npair = len(seg) // 2
+                    va = (seg[0:2 * npair:2] << 8) | seg[1:2 * npair:2]
+                    emit(np.full(npair, K_RAW), va, np.full(npair, 16))
+                    if len(seg) & 1:
+                        emit([K_RAW], [int(seg[-1])], [8])
+                else:   # DT_ENTROPY
+                    emit(np.full(len(seg), K_ELIT), seg)
+            else:
+                sp = int(sent_pos[r])
+                emit(kk[seg_start:sp], av[seg_start:sp],
+                     bv[seg_start:sp], cv[seg_start:sp])
+                emit([K_SENT], [64])
+            seg_start = int(sent_pos[r]) + 1
+            cl = 1 if rt[r][3] else 0
+            emit([K_INT], [cl])
+            if cl:
+                emit([K_FLUSH], [0])
+            if r + 1 < R:
+                emit_header(r + 1)
+        emit([K_END], [0])
+        tapes.append((np.concatenate(pk), np.concatenate(pa),
+                      np.concatenate(pb), np.concatenate(pc_)))
+
+    if _dbg:
+        print(f"[enc] stitch done {_time.time() - _t0:.2f}s")
     tlen = _bucket(max(len(t[0]) for t in tapes), 1024)
     tkk = np.zeros((bb, tlen), np.int32)
     taa = np.zeros((bb, tlen), np.int32)
@@ -356,8 +372,6 @@ def encode_batch(props_list, datas):
         tbb[j, :len(bbs)] = bbs
         tcc[j, :len(ccs)] = ccs
 
-    if _dbg:
-        print(f"[enc] stitch done {_time.time() - _t0:.2f}s")
     max_rc = 2 * n + 4096
     max_bc = n + 4096
 

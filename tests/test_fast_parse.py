@@ -79,3 +79,22 @@ def test_fast_parse_reference_binary_decodes(ref_build, tmp_path,
                         str(out)], capture_output=True)
     assert r.returncode == 0, r.stderr.decode()
     assert out.read_bytes() == text
+
+
+def test_fast_parse_bad_entropy_runs():
+    """BAD/ENTROPY payload runs ride the tape (K_RAW/K_ELIT) instead of
+    falling back to golden (CompressBad/CompressLiterals,
+    csc_model.cpp:448-469); both have been byte-identical."""
+    from csc_tpu.ops.pipeline import encode_batch
+    from csc_tpu.ops import encode_host
+    rng = np.random.default_rng(3)
+    rnd = bytes(rng.integers(0, 256, 24000, dtype=np.uint8))
+    syms = np.array([3, 17, 58, 91, 130, 171, 202, 251], np.uint8)
+    ent = bytes(syms[rng.integers(0, 8, 24000)])
+    for d, want_type in ((rnd, 8), (ent, 7)):
+        p = props_init(len(d), 2)          # filters ON: analyzer typing
+        plan = encode_host.plan_stream(p, d, allow_nolz=True)
+        assert plan is not None and plan[1][0][0] == want_type
+        o = encode_batch([p], [d])[0]
+        assert decompress_stream(p, o, 0) == d
+        assert o == encode_stream(p, d)

@@ -95,9 +95,30 @@ def case_mixed():
 CASES = {n[5:]: f for n, f in list(globals().items())
          if n.startswith("case_")}
 
+
+
+def case_bad():
+    rng = np.random.default_rng(3)
+    d = bytes(rng.integers(0, 256, 20000, dtype=np.uint8))
+    p = props_init(len(d), 2)       # filters ON: analyzer types DT_BAD
+    return run_case("bad", [d], [p])
+
+
+def case_entropy():
+    rng = np.random.default_rng(5)
+    syms = np.array([3, 17, 58, 91, 130, 171, 202, 251], np.uint8)
+    d = bytes(syms[rng.integers(0, 8, 20000)])
+    p = props_init(len(d), 2)       # DT_ENTROPY runs
+    return run_case("entropy", [d], [p])
+
+
+CASES["bad"] = case_bad
+CASES["entropy"] = case_entropy
+
+
 if __name__ == "__main__":
     names = sys.argv[1:] or ["lit", "match", "text", "longmatch",
-                             "multichunk", "mixed"]
+                             "multichunk", "mixed", "bad", "entropy"]
     allok = True
     for n in names:
         try:
