@@ -628,7 +628,7 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
             v = g("va")
             blen = jnp.zeros_like(v)
             x = v
-            for sh in (8, 4, 2, 1):
+            for sh in (16, 8, 4, 2, 1):
                 bigx = x >= (1 << sh)
                 blen = blen + jnp.where(bigx, sh, 0)
                 x = jnp.where(bigx, _i32(_u32(x) >> sh), x)
