@@ -223,6 +223,33 @@ def encode_batch(props_list, datas):
     if not idxs:
         return outs
 
+    # sub-batch by padded size so one large task does not inflate every
+    # stream's arrays (device work scales with the bucket, not the data)
+    if _fast:
+        by_bucket = {}
+        for i in idxs:
+            by_bucket.setdefault(_bucket(len(plans[i][0]) + 16),
+                                 []).append(i)
+        groups = [by_bucket[k] for k in sorted(by_bucket)]
+    else:
+        groups = [idxs]
+    for idxs in groups:
+        _encode_group(idxs, plans, props_list, datas, outs, _dbg, _t0,
+                      _fast)
+    return outs
+
+
+def _encode_group(idxs, plans, props_list, datas, outs, _dbg, _t0, _fast):
+    import jax
+    import time as _time
+    from ..golden.encoder import encode_stream as golden_encode
+    from . import encode_host
+    from .encode_scan import make_encode_state, run_parse, K_END, K_SENT_A
+    from .encode_bits import (make_bits_state, run_bits, K_INT, K_SENT,
+                              K_FLUSH, BSIZE_REF)
+    from ..constants import DT_ENGTXT, DT_BAD, DT_NO_LZ
+    from .encode_bits import K_RAW, K_ELIT
+
     lz_inputs = [plans[i][0] for i in idxs]
     run_tables = [plans[i][1] for i in idxs]
     sizes = [len(x) for x in lz_inputs]
