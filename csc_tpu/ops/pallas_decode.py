@@ -1374,39 +1374,60 @@ def decode_batch_pallas(props_list, blobs, positions=None, out_sizes=None,
         wmax = max(max(out_sizes), 1024)
     else:
         wmax = max(p.dict_size for p in props_list)
-    nw = _bucket(wmax + 2 * TILE, 4096)
 
-    if max_steps is None:
-        max_steps = int(8 * rc.shape[1] + bc.shape[1] + 64 + 2 * wmax)
+    rc_d = bc_d = None
+    while True:
+        nw = _bucket(wmax + 2 * TILE, 4096)
 
-    regs = np.zeros((NR, b), np.int32)
-    regs[_RI["fsm"], :] = F_PRIME
-    regs[_RI["rc_base"], :] = -(1 << 20)
-    regs[_RI["bc_base"], :] = -(1 << 20)
-    regs[_RI["rd_base"], :] = -(1 << 20)
-    regs[_RI["grp_key"], :] = -1
+        steps_cap = max_steps
+        if steps_cap is None:
+            steps_cap = int(8 * rc.shape[1] + bc.shape[1] + 64 + 2 * wmax)
 
-    B = b
-    wnd = jnp.zeros((B, nw // 128, 128), jnp.int32)
-    plit = jnp.full((B, 512, 128), 2048, jnp.int32)
-    pdlt = jnp.full((B, 512, 128), 2048, jnp.int32)
-    ms = np.array([[max_steps]], np.int32)
+        regs = np.zeros((NR, b), np.int32)
+        regs[_RI["fsm"], :] = F_PRIME
+        regs[_RI["rc_base"], :] = -(1 << 20)
+        regs[_RI["bc_base"], :] = -(1 << 20)
+        regs[_RI["rd_base"], :] = -(1 << 20)
+        regs[_RI["grp_key"], :] = -1
 
-    rc_d = _widen(jnp.asarray(rc_i), nrc // 128)
-    bc_d = _widen(jnp.asarray(bc_i), nbc // 128)
-    outs = _run(B, nw // 128, nrc // 128, nbc // 128, nb, bool(interpret),
-                jnp.asarray(ms), jnp.asarray(re2), jnp.asarray(be2),
-                jnp.asarray(regs), rc_d, bc_d,
-                wnd, plit, pdlt)
-    wnd_o, _, _, regs_o, blklog, steps = outs
-    regs_np = np.asarray(regs_o)
-    blklog_np = np.asarray(blklog)
+        B = b
+        wnd = jnp.zeros((B, nw // 128, 128), jnp.int32)
+        plit = jnp.full((B, 512, 128), 2048, jnp.int32)
+        pdlt = jnp.full((B, 512, 128), 2048, jnp.int32)
+        ms = np.array([[steps_cap]], np.int32)
+
+        if rc_d is None:
+            rc_d = _widen(jnp.asarray(rc_i), nrc // 128)
+            bc_d = _widen(jnp.asarray(bc_i), nbc // 128)
+        outs = _run(B, nw // 128, nrc // 128, nbc // 128, nb,
+                    bool(interpret),
+                    jnp.asarray(ms), jnp.asarray(re2), jnp.asarray(be2),
+                    jnp.asarray(regs), rc_d, bc_d,
+                    wnd, plit, pdlt)
+        wnd_o, _, _, regs_o, blklog, steps = outs
+        regs_np = np.asarray(regs_o)
+        blklog_np = np.asarray(blklog)
+
+        if (out_sizes is None
+                and int(regs_np[_RI["wnd_pos"]].max()) > wmax):
+            # decode without declared sizes outgrew the dict-sized window
+            # guess (dict < filesize stream, e.g. `csc d` of a reference
+            # file): flush positions clamp past capacity, so the bytes —
+            # and everything context-derived after them — are invalid.
+            # Regrow and re-decode (bounded by the reference's 1 GB dict
+            # cap, csc_typedef.h:12-13).
+            from ..golden.decoder import DecodeError as _DE
+            if wmax >= (1 << 30):
+                raise _DE("decoded output exceeds 1 GB window cap")
+            wmax = int(regs_np[_RI["wnd_pos"]].max()) * 2
+            continue
+        break
+
     # pack window bytes 4-per-i32 on device before pulling them over the
     # tunnel (device->host is the dominant cost otherwise)
     lmax = _bucket(max(int(regs_np[_RI["wnd_pos"]].max()), 4), 1024)
     lmax = min(lmax, nw)
     wnd_np = np.asarray(_pack_bytes(wnd_o, lmax)).view(np.uint8)
-    regs_np = np.asarray(regs_o)
 
     out_pos = regs_np[_RI["wnd_pos"]]
     done = regs_np[_RI["done"]]

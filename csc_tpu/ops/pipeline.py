@@ -15,6 +15,7 @@ def _bucket(n, lo=4096):
     return b
 
 from ..constants import DT_EXE, DT_ENGTXT, SIG_EOF
+from ..golden.decoder import DecodeError
 from .. import native
 from . import framing
 from .decode_scan import make_decode_state, run_decode_jit
@@ -45,8 +46,10 @@ def decode_batch(props_list, blobs, positions=None, out_sizes=None,
     blobs: list of bytes (physical streams); positions: start offsets.
     Returns list[bytes] decoded outputs.
 
-    Requires decoded size <= dict_size per stream (no ring wrap) — the
-    archiver's task construction guarantees this.  On a TPU backend the
+    Streams with dict_size < decoded size (the reference's ring window,
+    csc_dec.cpp:506-507) are decoded in linear window coordinates: when
+    out_sizes is known the window holds the full output; when unknown
+    the dict-sized guess regrows on overflow.  On a TPU backend the
     Pallas lockstep kernel handles the batch; streams it flags
     unsupported (DT_DLT blocks, block-log overflow) re-decode through
     the XLA scan below.
@@ -94,37 +97,55 @@ def _decode_batch_scan(props_list, blobs, positions=None, out_sizes=None,
 
     wnd_size = max(p.dict_size for p in props_list)
     if out_sizes is not None:
-        # tight window: big enough for every stream's output
-        wnd_size = min(wnd_size, max(max(out_sizes), 1024))
+        # window = full linear output: tight when output < dict, and
+        # grows past dict when dict < output (the reference's ring
+        # window in linear coordinates — a match at distance d <= dict
+        # always reads linear position pos-d, csc_dec.cpp:506-507)
+        wnd_size = max(max(out_sizes), 1024)
     wnd_size = _bucket(int(wnd_size))
 
-    if max_steps is None:
-        # worst case ~ (bits + copy steps); direct-coded BAD data moves
-        # 2 bytes/step, so 8*rc_bits + bc_bytes/2 is a generous bound
-        max_steps = int(8 * rc.shape[1] + bc.shape[1] + 64
-                        + 2 * wnd_size)
+    while True:
+        steps_cap = max_steps
+        if steps_cap is None:
+            # worst case ~ (bits + copy steps); direct-coded BAD data
+            # moves 2 bytes/step, so 8*rc_bits + bc_bytes/2 is generous
+            steps_cap = int(8 * rc.shape[1] + bc.shape[1] + 64
+                            + 2 * wnd_size)
 
-    st = make_decode_state(b, wnd_size, rc, bc, rc_ends, bc_ends)
-    if _mesh is not None:
-        from ..parallel.mesh import shard_state
-        st = shard_state(st, _mesh, b)
-    # segment the device loop: very long uninterrupted while-loops can trip
-    # the TPU worker watchdog; state stays on device between segments
-    final, steps = st, 0
-    SEG = 400_000
-    remaining = max_steps
-    while remaining > 0:
-        final, seg_steps = run_decode_jit(final, wnd_size,
-                                          jnp.int32(min(SEG, remaining)))
-        steps += int(seg_steps)
-        remaining -= int(seg_steps)
-        if bool(np.asarray(jnp.all(final["done"] == 1))):
-            break
+        st = make_decode_state(b, wnd_size, rc, bc, rc_ends, bc_ends)
+        if _mesh is not None:
+            from ..parallel.mesh import shard_state
+            st = shard_state(st, _mesh, b)
+        # segment the device loop: very long uninterrupted while-loops can
+        # trip the TPU worker watchdog; state stays on device in between
+        final, steps = st, 0
+        SEG = 400_000
+        remaining = steps_cap
+        while remaining > 0:
+            final, seg_steps = run_decode_jit(final, wnd_size,
+                                              jnp.int32(min(SEG, remaining)))
+            steps += int(seg_steps)
+            remaining -= int(seg_steps)
+            if bool(np.asarray(jnp.all(final["done"] == 1))):
+                break
+
+        out_pos = np.asarray(final["wnd_pos"])
+        if out_sizes is None and int(out_pos.max()) > wnd_size:
+            # output larger than the window guess (decode without
+            # declared sizes, e.g. `csc d` of a dict<filesize stream):
+            # wnd_pos grows past capacity while writes clamp — regrow
+            # and re-decode.  The reference streams through a true ring
+            # (csc_dec.cpp:740-767); whole-buffer decode must hold the
+            # output anyway, so regrowing is the bounded-retry analogue.
+            if wnd_size >= (1 << 30):      # reference max dict, csc_typedef.h
+                raise DecodeError("decoded output exceeds 1 GB window cap")
+            wnd_size = _bucket(int(out_pos.max()) * 2)
+            continue
+        break
 
     wnd = np.asarray(final["wnd"])
     blk_log = np.asarray(final["blk_log"])
     blk_cnt = np.asarray(final["blk_cnt"])
-    out_pos = np.asarray(final["wnd_pos"])
     done = np.asarray(final["done"])
     if not done.all():
         raise RuntimeError("decode scan hit step cap before completion")

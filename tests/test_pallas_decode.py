@@ -84,3 +84,26 @@ def test_corrupt_stream_flagged():
         # a bit flip that survives decode must at least corrupt output
         assert outs[0] != d
         raise DecodeError("decoded to garbage (acceptable)")
+
+
+def test_ring_window_dict_smaller_than_output():
+    # dict < output: the reference wraps a ring window
+    # (csc_dec.cpp:506-507); the device paths decode in linear window
+    # coordinates sized by the output.  dict=16K, output=64K (4x).
+    d = _mk_text(64 * 1024, 21)
+    p = _props(2, dict_size=16 * 1024)
+    blob = encode_stream(p, d)
+    outs, fb, _ = decode_batch_pallas([p], [blob], out_sizes=[len(d)],
+                                      interpret=True)
+    assert fb == [] and outs[0] == d
+
+
+def test_ring_window_scan_regrows_without_sizes():
+    # decode without declared sizes (the `csc d` path): the dict-sized
+    # window guess must regrow on overflow, not clamp silently.
+    from csc_tpu.ops.pipeline import _decode_batch_scan
+    d = _mk_text(48 * 1024, 22)
+    p = _props(1, dict_size=8 * 1024)
+    blob = encode_stream(p, d)
+    outs = _decode_batch_scan([p], [blob])
+    assert outs[0] == d
