@@ -6,12 +6,26 @@ is selected with --backend {golden,tpu}; `tpu` uses the batched JAX path
 for supported block types and falls back to golden elsewhere.
 """
 import argparse
+import os
 import sys
 import time
 
 from .props import (props_init, read_properties, write_properties,
                     est_mem_usage)
 from .constants import KB, MB
+
+
+def _honor_platform_env():
+    """Make JAX_PLATFORMS from the caller's environment win even when a
+    site plugin imported jax first and snapshotted its own platform (the
+    axon sitecustomize does; see tests/conftest.py)."""
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            import jax
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
 
 
 def _parse_size(s):
@@ -54,6 +68,7 @@ def main(argv=None):
         print("Estimated memory usage: %d MB"
               % (est_mem_usage(props) // 1048576), file=sys.stderr)
         if args.backend == "tpu":
+            _honor_platform_env()
             from .ops.pipeline import encode_stream_tpu
             stream = encode_stream_tpu(props, data)
         else:
@@ -68,6 +83,7 @@ def main(argv=None):
     else:
         props = read_properties(data[:10])
         if args.backend == "tpu":
+            _honor_platform_env()
             from .ops.pipeline import decode_stream_tpu
             raw = decode_stream_tpu(props, data, 10)
         else:

@@ -133,7 +133,7 @@ _INT_REGS = [
     "len_base", "len_tbl", "wire_len", "rep_idx", "slot", "ebits", "elen",
     "pdist_pos", "sbits", "dist", "cpy_src", "cpy_rem", "size_rem",
     "blk_size", "chn", "rle_i", "rle_rel", "prev", "last_delta", "sctx",
-    "eof", "done", "blk_start", "blk_cnt",
+    "eof", "done", "err", "blk_start", "blk_cnt",
 ]
 
 
@@ -539,6 +539,14 @@ def decode_step(st, wnd_size):
     t_dlt = bt & (num >= DT_DLT) & (num < DT_DLT + 5)
     to_int(t_dlt, IP_SIZE_RLE)
     upd("chn", t_dlt, jnp.asarray(_DLT_CHN)[jnp.clip(num, 0, 31)])
+    # invalid block type: the reference throws DECODE_ERROR
+    # (csc_dec.cpp:653); stop the stream and surface err on host
+    bad_type = bt & ~((num == DT_NORMAL) | (num == DT_EXE)
+                      | (num == DT_ENGTXT) | (num == DT_BAD)
+                      | (num == DT_ENTROPY) | (num == SIG_EOF)
+                      | ((num >= DT_DLT) & (num < DT_DLT + 5)))
+    upd("err", bad_type, 1)
+    upd("done", bad_type, 1)
 
     sb = cdone & (ip == IP_SIZE_BAD)
     upd("size_rem", sb, num)

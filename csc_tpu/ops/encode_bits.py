@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from ..constants import DIST_TABLE, REV16_TABLE
 from .decode_scan import (P_STATE, P_LIT, P_DIST, P_MDEXTRA, P_MLSLOT,
                           P_MLEX1, P_MLEX2, P_MLEX3, P_LONGLEN, P_REPDIST,
-                          NPROB, _PDIST_POS, _PDIST_BITS)
+                          P_DELTA, P_RLEFLAG, NPROB, _PDIST_POS, _PDIST_BITS)
 from .encode_scan import K_LIT, K_MATCH, K_REP, K_REP0L1, K_END
 
 MASK32 = 0xFFFFFFFF
@@ -34,6 +34,8 @@ B_DISTDIRECT = 10
 B_INT = 11
 B_FLUSH = 12      # 5 ShiftLows + bc pads, then coder reset
 B_RAW = 13        # direct raw bytes (CompressBad, csc_model.cpp:463-469)
+B_RLEFLAG = 14    # CompressRLE per-token flag bit (csc_model.cpp:483,492)
+B_DLITTREE = 15   # CompressRLE literal through p_delta[sctx] (:493-499)
 
 _DIST_TABLE = np.array(DIST_TABLE, np.int64)
 _REV16 = np.array(REV16_TABLE, np.int32)
@@ -43,9 +45,11 @@ K_SENT = 11       # host token: EncodeMatch(64, 0) block sentinel
 K_FLUSH = 12      # host token: Coder::Flush chunk boundary
 K_RAW = 6         # CompressBad payload: tok_a = 1-2 raw bytes, tok_b = bits
 K_ELIT = 7        # CompressLiterals payload: order-1 literal, no LZ flags
+K_DLIT = 8        # CompressRLE literal: tok_a = byte, tok_b = s_ctx
+K_RLEN = 9        # CompressRLE run: tok_b = run length - 11
 
 _BIT_STATES = (B_FLAG, B_LITTREE, B_REPTREE, B_LENSLOT, B_LENTREE,
-               B_LONGLEN, B_DISTSLOT, B_DISTEXTRA)
+               B_LONGLEN, B_DISTSLOT, B_DISTEXTRA, B_RLEFLAG, B_DLITTREE)
 
 # physical MemIO block size; module-level so the step fn stays static
 BSIZE_REF = [65536]
@@ -162,8 +166,10 @@ def encode_bits_step(st):
     is_long = active & (fsm == B_LONGLEN)
     is_dslot = active & (fsm == B_DISTSLOT)
     is_dext = active & (fsm == B_DISTEXTRA)
+    is_rlef = active & (fsm == B_RLEFLAG)
+    is_dlit = active & (fsm == B_DLITTREE)
     is_bit = (is_flag | is_lit | is_rept | is_lslot | is_ltree | is_long
-              | is_dslot | is_dext)
+              | is_dslot | is_dext | is_rlef | is_dlit)
     is_l3 = st["len_tbl"] != 3
 
     # ---------------- bit value + prob index -----------------------------
@@ -191,11 +197,13 @@ def encode_bits_step(st):
     dext_bit = (st["bits_c"] >> 3) & 1
     long_bit = jnp.where(st["len_left"] > 0, 0, 1)
 
+    rlef_bit = jnp.where(kind == K_RLEN, 1, 0)
+
     bit = jnp.select(
-        [is_flag, is_lit, is_rept, is_lslot, is_ltree, is_long, is_dslot,
-         is_dext],
+        [is_flag, is_lit | is_dlit, is_rept, is_lslot, is_ltree, is_long,
+         is_dslot, is_dext, is_rlef],
         [flag_bit, lit_bit, rep_bit, lslot_bit, ltree_bit, long_bit,
-         dslot_bit, dext_bit],
+         dslot_bit, dext_bit, rlef_bit],
         default=jnp.zeros_like(fi))
 
     pidx = jnp.select(
@@ -203,7 +211,7 @@ def encode_bits_step(st):
          is_ltree & is_l3 & (st["len_tbl"] == 1),
          is_ltree & is_l3 & (st["len_tbl"] == 2),
          is_ltree & ~is_l3,
-         is_long, is_dslot, is_dext],
+         is_long, is_dslot, is_dext, is_rlef, is_dlit],
         [P_STATE + mstate3 + fi,
          P_LIT + st["ctx"] * 256 + node,
          P_REPDIST + mstate3 + node - 1,
@@ -211,7 +219,9 @@ def encode_bits_step(st):
          P_MLEX1 + node, P_MLEX2 + node, P_MLEX3 + node,
          jnp.full_like(fi, P_LONGLEN),
          P_DIST + st["pdist_pos"] + node,
-         P_MDEXTRA + (st["ebits"] - 1) * 16 + node],
+         P_MDEXTRA + (st["ebits"] - 1) * 16 + node,
+         jnp.full_like(fi, P_RLEFLAG),
+         P_DELTA + st["vb"] * 256 + node],
         default=jnp.zeros_like(fi))
     pidx = jnp.where(is_bit, pidx, 0)
 
@@ -340,6 +350,10 @@ def encode_bits_step(st):
     upd("mstate", lf_rep, (st["mstate"] * 4 + 3) & 0x3F)
     upd("ctx", lf_rep, st["vc"])
     upd("fsm", lf_rep, B_NEXT)
+    # RLE run length (after_len==2): no mstate/ctx updates (compress_rle
+    # calls encode_matchlen_2 directly, csc_model.cpp:492)
+    lf_rle = len_fin & (st["after_len"] == 2)
+    upd("fsm", lf_rle, B_NEXT)
     lf_match = len_fin & (st["after_len"] == 1)
     wl_c = jnp.minimum(st["vb"], 6)
     npdist = jnp.asarray(_PDIST_POS)[wl_c]
@@ -402,6 +416,29 @@ def encode_bits_step(st):
     upd("mstate", de_done, (st["mstate"] * 4 + 1) & 0x3F)
     upd("ctx", de_done & (kind != K_SENT), st["vc"])
     upd("fsm", de_done, B_NEXT)
+
+    # RLEFLAG: one flag bit, then delta literal or run length
+    c = is_rlef
+    to_dlit = c & (kind == K_DLIT)
+    upd("fsm", to_dlit, B_DLITTREE)
+    upd("node", to_dlit, 1)
+    upd("bits_c", to_dlit, st["va"] | 0x100)
+    to_rlen = c & (kind == K_RLEN)
+    upd("fsm", to_rlen, B_LENSLOT)
+    upd("sub_i", to_rlen, 0)
+    upd("after_len", to_rlen, 2)
+    upd("len_phase", to_rlen, 0)
+    upd("len_left", to_rlen, 0)
+    upd("lenv", to_rlen, jnp.minimum(st["vb"], 143))
+
+    # DLITTREE: order-1 literal through p_delta[sctx]; model ctx untouched
+    c = is_dlit
+    nb = (st["bits_c"] << 1) & 0x1FFFF
+    upd("bits_c", c, nb)
+    nnode = node * 2 + bit
+    upd("node", c, nnode)
+    dlit_done = c & (nnode >= 0x100)
+    upd("fsm", dlit_done, B_NEXT)
 
     # ---------------- direct-bit micro-ops -------------------------------
     bcv, bcb = new["bc_val"], new["bc_bits"]
@@ -551,8 +588,11 @@ def encode_bits_step(st):
     upd("fsm", is_el, B_LITTREE)
     upd("node", is_el, 1)
     upd("bits_c", is_el, a | 0x100)
+    # DLIT/RLEN: CompressRLE tokens lead with the p_rle_flag bit
+    is_dl = c & ((k == K_DLIT) | (k == K_RLEN))
+    upd("fsm", is_dl, B_RLEFLAG)
     is_tok = c & (k != K_END) & (k != K_INT) & (k != K_FLUSH) \
-        & (k != K_RAW) & (k != K_ELIT)
+        & (k != K_RAW) & (k != K_ELIT) & (k != K_DLIT) & (k != K_RLEN)
     upd("fsm", is_tok, B_FLAG)
 
     # ---------------- carry-run drain ------------------------------------

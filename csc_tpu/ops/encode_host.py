@@ -180,18 +180,83 @@ def remux_stream(bsize, rc_bytes, bc_bytes, rc_blkmap, bc_blkmap, regs=None,
     return bytes(pc.out)
 
 
+def _dlt_bpb(block, chn):
+    """GetDltBpb (csc_analyzer.cpp:166-182), vectorized: order-0 bpb x100
+    after the channel delta.  The prev byte carries across channels in
+    traversal order, exactly as the reference's single `prev` does."""
+    from ..golden.analyzer import _LOG_TABLE
+    a = np.frombuffer(bytes(block), np.uint8).astype(np.int32)
+    size = len(a)
+    freq = np.zeros(256, np.int64)
+    carry = 0
+    for i in range(chn):
+        vals = a[i::chn]
+        if len(vals) == 0:
+            continue
+        prevs = np.concatenate(([carry], vals[:-1]))
+        freq += np.bincount((vals - prevs) & 0xFF, minlength=256)
+        carry = int(vals[-1])
+    lt = np.asarray(_LOG_TABLE, np.int64)
+    bpb = size * int(lt[size >> 4])
+    bpb -= int(np.sum(freq * lt[freq >> 4]))
+    return (bpb & 0xFFFFFFFF) // size
+
+
+def rle_tape(seg):
+    """CompressRLE skeleton (csc_model.cpp:471-513) as tape tokens.
+
+    seg: np.uint8 array (delta-filtered run payload).  Returns
+    (kinds, a, b) int32 arrays of K_DLIT (a=byte, b=s_ctx) and K_RLEN
+    (b=length-11) tokens.  A run token fires at position i when
+    src[i-1..i+2] are equal and the equal stretch from i has length > 10;
+    within a maximal equal-value stretch [s, e) that means the literal at
+    s is followed by one run of length e-s-1 iff e-s >= 12.  s_ctx is
+    always the previous consumed byte (0 at position 0)."""
+    from .encode_bits import K_DLIT, K_RLEN
+    n = len(seg)
+    if n == 0:
+        return (np.zeros(0, np.int32),) * 3
+    seg = np.asarray(seg, np.uint8)
+    ctxs = np.concatenate(([0], seg[:-1].astype(np.int32)))
+    neq = np.flatnonzero(np.diff(seg) != 0)
+    starts = np.concatenate(([0], neq + 1))
+    ends = np.concatenate((neq + 1, [np.int64(n)]))
+    runs = np.flatnonzero(ends - starts >= 12)
+    kk, aa, bb = [], [], []
+    pos = 0
+    for ri in runs:
+        s, e = int(starts[ri]), int(ends[ri])
+        # literals [pos, s], then one run token covering [s+1, e)
+        kk.append(np.full(s + 1 - pos, K_DLIT, np.int32))
+        aa.append(seg[pos:s + 1].astype(np.int32))
+        bb.append(ctxs[pos:s + 1])
+        kk.append(np.full(1, K_RLEN, np.int32))
+        aa.append(np.zeros(1, np.int32))
+        bb.append(np.asarray([e - s - 1 - 11], np.int32))
+        pos = e
+    kk.append(np.full(n - pos, K_DLIT, np.int32))
+    aa.append(seg[pos:].astype(np.int32))
+    bb.append(ctxs[pos:])
+    return (np.concatenate(kk).astype(np.int32),
+            np.concatenate(aa).astype(np.int32),
+            np.concatenate(bb).astype(np.int32))
+
+
 def plan_stream(props, data, allow_nolz=False):
     """Analyzer pre-pass: produce the filtered LZ input + run table, or
-    None when the stream needs the golden path (DLT block types,
-    multi-chunk, optimal parser, BT finder).
+    None when the stream needs the golden path (multi-chunk, optimal
+    parser, BT finder).
 
-    Returns (lz_input: bytes, runs: [(type, filtered_len, declared_size)]).
-    Mirrors CSCEncoder::Compress (csc_encoder_main.cpp:85-146) for runs of
-    DT_NORMAL / DT_EXE / DT_ENGTXT, plus — when allow_nolz (the fast
-    parse accepts them) — DT_BAD / DT_ENTROPY payload runs.  The
-    IsDuplicateBlock re-typing probe (csc_lz.cpp:102-112) is skipped on
-    this path: a duplicated 8KB block stays BAD/ENTROPY instead of being
-    re-LZ'd, a rare ratio-only divergence.
+    Returns (lz_input: bytes, runs: [(type, filtered_len, declared_size,
+    chunk_last, payload)]).  Mirrors CSCEncoder::Compress
+    (csc_encoder_main.cpp:85-146) for runs of DT_NORMAL / DT_EXE /
+    DT_ENGTXT, plus — when allow_nolz (the fast parse accepts them) —
+    DT_BAD / DT_ENTROPY / DT_DLT payload runs (the LZ window gets the
+    RAW bytes via mf-skip insert, csc_lz.cpp:114-125; payload carries
+    the delta-filtered bytes for DLT).  The IsDuplicateBlock re-typing
+    probe (csc_lz.cpp:102-112) is skipped on this path: a duplicated
+    8KB block stays BAD/ENTROPY/DLT instead of being re-LZ'd, a rare
+    ratio-only divergence.
     """
     size = len(data)
     if size == 0:
@@ -229,9 +294,12 @@ def plan_stream(props, data, allow_nolz=False):
                 elif t >= DT_DLT and props.DLTFilter == 0:
                     t = DT_NORMAL
             if DT_DLT <= t < DT_DLT + 5:
-                return None    # DLT needs the fused RLE path: fallback
+                # post-delta entropy veto (csc_encoder_main.cpp:118-121)
+                if _dlt_bpb(chunk[i:i + cur],
+                            DLT_INDEX[t - DT_DLT]) >= bpb * 0.95:
+                    t = DT_NORMAL
             if t >= DT_NO_LZ and not allow_nolz:
-                return None    # BAD/ENTROPY on the exact path: fallback
+                return None    # BAD/ENTROPY/DLT on the exact path: fallback
             types.append((t, i, cur))
             i += cur
 
@@ -255,15 +323,24 @@ def plan_stream(props, data, allow_nolz=False):
             chunk_last = k == len(runs) - 1
             if t == DT_EXE:
                 _native.e89_forward(seg)
-                run_table.append((DT_EXE, rsize, -1, chunk_last))
+                run_table.append((DT_EXE, rsize, -1, chunk_last, None))
             elif t == DT_ENGTXT:
                 if _native.dict_forward(seg):
-                    run_table.append((DT_ENGTXT, rsize, rsize, chunk_last))
+                    run_table.append((DT_ENGTXT, rsize, rsize, chunk_last,
+                                      None))
                 else:
-                    run_table.append((DT_NORMAL, rsize, -1, chunk_last))
+                    run_table.append((DT_NORMAL, rsize, -1, chunk_last,
+                                      None))
+            elif t >= DT_DLT:
+                # window gets the RAW bytes (mf-skip, csc_lz.cpp:114);
+                # the RLE payload is the delta-filtered copy
+                payload = bytearray(seg)
+                _native.delta_forward(payload, DLT_INDEX[t - DT_DLT])
+                run_table.append((t, rsize, rsize, chunk_last,
+                                  bytes(payload)))
             elif t >= DT_NO_LZ:
-                run_table.append((t, rsize, rsize, chunk_last))
+                run_table.append((t, rsize, rsize, chunk_last, None))
             else:
-                run_table.append((DT_NORMAL, rsize, -1, chunk_last))
+                run_table.append((DT_NORMAL, rsize, -1, chunk_last, None))
             lz_parts.append(bytes(seg))
     return b"".join(lz_parts), run_table

@@ -28,10 +28,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import DIST_TABLE, REV16_TABLE
 from .decode_scan import (P_STATE, P_REPDIST, P_DIST, P_MDEXTRA, P_MLSLOT,
-                          P_MLEX1, P_MLEX2, P_MLEX3, P_LONGLEN,
+                          P_MLEX1, P_MLEX2, P_MLEX3, P_LONGLEN, P_RLEFLAG,
                           _PDIST_POS, _PDIST_BITS)
 from .encode_scan import K_LIT, K_MATCH, K_REP, K_REP0L1, K_END
-from .encode_bits import K_INT, K_SENT, K_FLUSH, K_RAW, K_ELIT
+from .encode_bits import (K_INT, K_SENT, K_FLUSH, K_RAW, K_ELIT, K_DLIT,
+                          K_RLEN)
 from .pallas_decode import (_col, _u32, _i32, _ult, _tile_pair, _tile_gather,
                             _lut, _bucket, NP_ROWS, TS, BLK, TILE)
 
@@ -50,6 +51,8 @@ F_DISTDIRECT = 10
 F_INT = 11
 F_FLUSH = 12
 F_RAW = 13
+F_RLEFLAG = 14    # CompressRLE flag bit (csc_model.cpp:483,492)
+F_DLITTREE = 15   # CompressRLE literal via p_delta[s_ctx] (:493-499)
 
 _DIST_TABLE_NP = np.array(DIST_TABLE, np.int64)
 _REV16_NP = np.array(REV16_TABLE, np.int32)
@@ -87,7 +90,7 @@ RQ_SWAP_SLOT = 10
 NRQ = 16
 
 _BIT_STATES = (F_FLAG, F_LITTREE, F_REPTREE, F_LENSLOT, F_LENTREE,
-               F_LONGLEN, F_DISTSLOT, F_DISTEXTRA)
+               F_LONGLEN, F_DISTSLOT, F_DISTEXTRA, F_RLEFLAG, F_DLITTREE)
 
 
 def _make_kernel(B, NTS, NRS, NBS, KBITS):
@@ -97,7 +100,8 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
     def kernel(max_steps_ref, bsize_ref,       # SMEM (1,1)
                regs_ref,                       # VMEM [NR, B]
                tok_hbm,                        # ANY [B, NTS, 128]
-               plit_hbm,                       # ANY [B, 512, 128] (aliased)
+               plit_hbm,                       # ANY [B, 1024, 128]: p_lit
+                                               # rows 0-511, p_delta 512-1023
                rc_hbm, bc_hbm,                 # ANY (aliased outputs)
                plit_out, rc_out, bc_out,       # aliased with inputs
                regs_out,                       # VMEM [NR, B]
@@ -172,11 +176,14 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
             tlane = g("tok_i") * 4
             tok_miss = is_next0 & ((tlane < tok_base)
                                    | (tlane + 4 > tok_base + TILE))
-            # literal group residency (only LITTREE uses p_lit[ctx])
+            # literal group residency: LITTREE uses p_lit[ctx]; DLITTREE
+            # uses p_delta[s_ctx] = vb (keys 64-127 of the shared table)
             grp_key = g("grp_key")
             grp_slot = g("grp_slot")
-            uses_grp = (fsm == F_LITTREE)
-            want_key = ctx >> 2
+            is_dlt_t = fsm == F_DLITTREE
+            uses_grp = (fsm == F_LITTREE) | is_dlt_t
+            gctx = jnp.where(is_dlt_t, g("vb"), ctx)
+            want_key = (gctx >> 2) + jnp.where(is_dlt_t, 64, 0)
             grp_miss = live & is_bitst & uses_grp & (grp_key != want_key)
 
             stall = tok_miss | grp_miss
@@ -205,6 +212,7 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
                                jnp.where(g("len_tbl") == 2, P_MLEX2,
                                          P_MLEX3))),
                     (fsm == F_LONGLEN, jnp.full_like(node0, P_LONGLEN)),
+                    (fsm == F_RLEFLAG, jnp.full_like(node0, P_RLEFLAG)),
                     (fsm == F_DISTSLOT, P_DIST + g("pdist_pos")),
                     (fsm == F_DISTEXTRA,
                      P_MDEXTRA + (g("ebits") - 1) * 16)]:
@@ -217,7 +225,7 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
                 jnp.any(use_small0),
                 lambda: _tile_pair(probs, win_row, nrows=NP_ROWS),
                 lambda: jnp.zeros((B, 256), jnp.int32))
-            gsub_lit = grp_slot * 8 + (ctx & 3) * 2
+            gsub_lit = grp_slot * 8 + (gctx & 3) * 2
             lit_pair = jax.lax.cond(
                 jnp.any(use_gc0),
                 lambda: _tile_pair(grp, gsub_lit),
@@ -291,6 +299,8 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
                 for _f, _cond in [
                         (F_FLAG, flag_i < nflags),
                         (F_LITTREE, node < 0x100),
+                        (F_DLITTREE, node < 0x100),
+                        (F_RLEFLAG, flag_i < 1),
                         (F_REPTREE, sub_i < 2),
                         (F_LENSLOT, ((lenv < 8) & (sub_i < 1))
                          | ((lenv >= 8) & (sub_i < 2))),
@@ -329,6 +339,8 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
                 for _f, _v in [
                         (F_FLAG, flag_bit),
                         (F_LITTREE, (bits_c >> 7) & 1),
+                        (F_DLITTREE, (bits_c >> 7) & 1),
+                        (F_RLEFLAG, jnp.where(kind == K_RLEN, 1, 0)),
                         (F_REPTREE, jnp.where(sub_i == 0,
                                               (g("va") >> 1) & 1,
                                               g("va") & 1)),
@@ -347,6 +359,7 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
                 pidx = jnp.zeros_like(node)
                 for _f, _v in [
                         (F_FLAG, P_STATE + mstate3 + flag_i),
+                        (F_RLEFLAG, jnp.full_like(node, P_RLEFLAG)),
                         (F_REPTREE, P_REPDIST + mstate3 + node - 1),
                         (F_LENSLOT, P_MLSLOT + sub_i),
                         (F_LENTREE,
@@ -410,9 +423,11 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
                 lowhi = jnp.where(renorm, 0, lowhi)
 
                 # advance driven counters
-                flag_i = jnp.where(act & (fsm == F_FLAG), flag_i + 1,
-                                   flag_i)
-                tree_sh = act & ((fsm == F_LITTREE) | (fsm == F_LENTREE)
+                flag_i = jnp.where(act & ((fsm == F_FLAG)
+                                          | (fsm == F_RLEFLAG)),
+                                   flag_i + 1, flag_i)
+                tree_sh = act & ((fsm == F_LITTREE) | (fsm == F_DLITTREE)
+                                 | (fsm == F_LENTREE)
                                  | (fsm == F_DISTSLOT)
                                  | (fsm == F_DISTEXTRA))
                 bits_c = jnp.where(tree_sh, (bits_c << 1) & 0x1FFFF,
@@ -455,7 +470,22 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
             upd("len_phase", fd_match, 0)
             upd("len_left", fd_match, 0)
             upd("lenv", fd_match, jnp.minimum(g("vb"), 143))
-            upd("flag_i", is_bit & (fsm == F_FLAG), flag_i)
+            upd("flag_i", is_bit & ((fsm == F_FLAG) | (fsm == F_RLEFLAG)),
+                flag_i)
+
+            # RLEFLAG done: delta literal or run length
+            c = is_bit & (fsm == F_RLEFLAG) & (flag_i >= 1)
+            to_dlit = c & (kind == K_DLIT)
+            upd("fsm", to_dlit, F_DLITTREE)
+            upd("node", to_dlit, 1)
+            upd("bits_c", to_dlit, g("va") | 0x100)
+            to_rlen = c & (kind == K_RLEN)
+            upd("fsm", to_rlen, F_LENSLOT)
+            upd("sub_i", to_rlen, 0)
+            upd("after_len", to_rlen, 2)
+            upd("len_phase", to_rlen, 0)
+            upd("len_left", to_rlen, 0)
+            upd("lenv", to_rlen, jnp.minimum(g("vb"), 143))
 
             # LITTREE
             c = is_bit & (fsm == F_LITTREE)
@@ -464,6 +494,13 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
             lit_done = c & (nnode >= 0x100)
             upd("ctx", lit_done, g("va"))
             upd("fsm", lit_done, F_NEXT)
+
+            # DLITTREE: p_delta literal; model ctx/mstate untouched
+            c = is_bit & (fsm == F_DLITTREE)
+            upd("node", c, nnode)
+            upd("bits_c", c, bits_c)
+            dlit_done = c & (nnode >= 0x100)
+            upd("fsm", dlit_done, F_NEXT)
 
             # REPTREE
             c = is_bit & (fsm == F_REPTREE)
@@ -508,6 +545,9 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
             upd("mstate", lf_rep, (g("mstate") * 4 + 3) & 0x3F)
             upd("ctx", lf_rep, g("vc"))
             upd("fsm", lf_rep, F_NEXT)
+            # RLE run length: no mstate/ctx updates (csc_model.cpp:492)
+            lf_rle = len_fin & (g("after_len") == 2)
+            upd("fsm", lf_rle, F_NEXT)
             lf_match = len_fin & (g("after_len") == 1)
             wl_c = jnp.minimum(g("vb"), 6)
             upd("pdist_pos", lf_match, _lut(wl_c, _PDIST_POS))
@@ -746,8 +786,12 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
             upd("fsm", t_el, F_LITTREE)
             upd("node", t_el, 1)
             upd("bits_c", t_el, a_ | 0x100)
+            # DLIT/RLEN: CompressRLE tokens lead with the p_rle_flag bit
+            t_dl = c & ((k_ == K_DLIT) | (k_ == K_RLEN))
+            upd("fsm", t_dl, F_RLEFLAG)
             t_tok = c & (k_ != K_END) & (k_ != K_INT) & (k_ != K_FLUSH) \
-                & (k_ != K_RAW) & (k_ != K_ELIT)
+                & (k_ != K_RAW) & (k_ != K_ELIT) & (k_ != K_DLIT) \
+                & (k_ != K_RLEN)
             upd("fsm", t_tok, F_FLAG)
 
             # ---------------- write back staged windows ---------------
@@ -882,7 +926,7 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
 
                 def wb(c2):
                     osl = pl.multiple_of(oslot * 8, 8)
-                    od = pl.multiple_of((okey & 63) * 8, 8)
+                    od = pl.multiple_of((okey & 127) * 8, 8)
                     pltpu.make_async_copy(
                         grp.at[b, pl.ds(osl, 8), :],
                         plit_out.at[b, pl.ds(od, 8), :], sem_sw).start()
@@ -890,7 +934,7 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
                 cnum = jax.lax.cond(okey >= 0, wb, lambda c2: c2,
                                     jnp.int32(1))
                 nsl = pl.multiple_of(nslot * 8, 8)
-                nd_ = pl.multiple_of((nkey & 63) * 8, 8)
+                nd_ = pl.multiple_of((nkey & 127) * 8, 8)
                 pltpu.make_async_copy(
                     plit_out.at[b, pl.ds(nd_, 8), :],
                     grp.at[b, pl.ds(nsl, 8), :], sem_sw).start()
@@ -999,7 +1043,7 @@ def _run(B, NTS, NRS, NBS, KBITS, interpret,
          max_steps, bsize, regs, tok_hbm, plit, rc0, bc0):
     kernel = _make_kernel(B, NTS, NRS, NBS, KBITS)
     out_shapes = (
-        jax.ShapeDtypeStruct((B, 512, 128), jnp.int32),     # plit (alias)
+        jax.ShapeDtypeStruct((B, 1024, 128), jnp.int32),    # plit (alias)
         jax.ShapeDtypeStruct((B, NRS, 128), jnp.int32),     # rc (alias)
         jax.ShapeDtypeStruct((B, NBS, 128), jnp.int32),     # bc (alias)
         jax.ShapeDtypeStruct((NR, B), jnp.int32),           # regs
@@ -1093,7 +1137,7 @@ def encode_bits_pallas(tok_kind, tok_a, tok_b, tok_c, max_rc, max_bc,
     if max_steps is None:
         max_steps = int(12 * T + max_rc + max_bc + 4096)
 
-    plit = jnp.full((B, 512, 128), 2048, jnp.int32)
+    plit = jnp.full((B, 1024, 128), 2048, jnp.int32)
     rc0 = jnp.zeros((B, nrs // 128, 128), jnp.int32)
     bc0 = jnp.zeros((B, nbs // 128, 128), jnp.int32)
     outs = _run(B, nts // 128, nrs // 128, nbs // 128, int(kbits),

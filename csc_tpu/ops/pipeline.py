@@ -147,6 +147,11 @@ def _decode_batch_scan(props_list, blobs, positions=None, out_sizes=None,
     blk_log = np.asarray(final["blk_log"])
     blk_cnt = np.asarray(final["blk_cnt"])
     done = np.asarray(final["done"])
+    if np.asarray(final["err"]).any():
+        raise DecodeError("invalid block type in stream")
+    if (blk_cnt > blk_log.shape[1]).any():
+        raise DecodeError("block log overflow (corrupt or unsupported "
+                          "stream: > %d typed blocks)" % blk_log.shape[1])
     if not done.all():
         raise RuntimeError("decode scan hit step cap before completion")
 
@@ -213,21 +218,17 @@ def encode_batch(props_list, datas):
     idxs = [i for i, pl in enumerate(plans) if pl is not None]
     outs = [None] * b
 
-    # preset uniformity: group by (hash_bits, hash_width, good_len, lz_mode)
-    if idxs:
-        key0 = None
-        grouped = []
-        for i in idxs:
-            p = props_list[i]
-            k = (p.hash_bits, p.hash_width, p.good_len, p.lz_mode)
-            if key0 is None:
-                key0 = k
-            if k == key0:
-                grouped.append(i)
-            # others fall back (rare: mixed presets in one batch)
-        idxs = grouped
+    # preset uniformity per device group: batch by
+    # (hash_bits, hash_width, good_len, lz_mode) — a mixed-preset batch
+    # runs one device group per preset instead of falling back
+    by_preset = {}
+    for i in idxs:
+        p = props_list[i]
+        by_preset.setdefault(
+            (p.hash_bits, p.hash_width, p.good_len, p.lz_mode),
+            []).append(i)
 
-    fb_idx = [i for i in range(b) if i not in idxs]
+    fb_idx = [i for i in range(b) if plans[i] is None]
     if len(fb_idx) > 1:
         from concurrent.futures import ProcessPoolExecutor
         import os as _os
@@ -246,17 +247,19 @@ def encode_batch(props_list, datas):
 
     # sub-batch by padded size so one large task does not inflate every
     # stream's arrays (device work scales with the bucket, not the data)
-    if _fast:
-        by_bucket = {}
-        for i in idxs:
-            by_bucket.setdefault(_bucket(len(plans[i][0]) + 16),
-                                 []).append(i)
-        groups = [by_bucket[k] for k in sorted(by_bucket)]
-    else:
-        groups = [idxs]
-    for idxs in groups:
-        _encode_group(idxs, plans, props_list, datas, outs, _dbg, _t0,
-                      _fast)
+    for pk in sorted(by_preset):
+        pidxs = by_preset[pk]
+        if _fast:
+            by_bucket = {}
+            for i in pidxs:
+                by_bucket.setdefault(_bucket(len(plans[i][0]) + 16),
+                                     []).append(i)
+            groups = [by_bucket[k] for k in sorted(by_bucket)]
+        else:
+            groups = [pidxs]
+        for gidxs in groups:
+            _encode_group(gidxs, plans, props_list, datas, outs, _dbg, _t0,
+                          _fast)
     return outs
 
 
@@ -268,7 +271,7 @@ def _encode_group(idxs, plans, props_list, datas, outs, _dbg, _t0, _fast):
     from .encode_scan import make_encode_state, run_parse, K_END, K_SENT_A
     from .encode_bits import (make_bits_state, run_bits, K_INT, K_SENT,
                               K_FLUSH, BSIZE_REF)
-    from ..constants import DT_ENGTXT, DT_BAD, DT_NO_LZ
+    from ..constants import DT_ENGTXT, DT_BAD, DT_NO_LZ, DT_DLT
     from .encode_bits import K_RAW, K_ELIT
 
     lz_inputs = [plans[i][0] for i in idxs]
@@ -284,8 +287,8 @@ def _encode_group(idxs, plans, props_list, datas, outs, _dbg, _t0, _fast):
     run_ends = np.zeros((bb, maxrun), np.int32)
     for j, rt in enumerate(run_tables):
         acc = 0
-        for k, (_, rsize, _, _cl) in enumerate(rt):
-            acc += rsize
+        for k, r in enumerate(rt):
+            acc += r[1]
             run_ends[j, k] = acc
         run_ends[j, len(rt):] = acc
     run_types = np.full((bb, maxrun), 0, np.int32)
@@ -379,7 +382,13 @@ def _encode_group(idxs, plans, props_list, datas, outs, _dbg, _t0, _fast):
         for r in range(R):
             t = rt[r][0]
             lo, hi = int(offs[r]), int(offs[r + 1])
-            if t >= DT_NO_LZ:
+            if t >= DT_DLT:
+                # CompressRLE over the delta-filtered payload
+                from .encode_host import rle_tape
+                kk_, aa_, bb_ = rle_tape(
+                    np.frombuffer(rt[r][4], np.uint8))
+                emit(kk_, aa_, bb_)
+            elif t >= DT_NO_LZ:
                 seg = np.frombuffer(data_j[lo:hi],
                                     np.uint8).astype(np.int32)
                 if t == DT_BAD:

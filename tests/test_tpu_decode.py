@@ -72,3 +72,32 @@ def test_decode_reference_stream(ref_build, corpus_dir, tmp_path):
     blob = fout.read_bytes()
     props = read_properties(blob[:10])
     assert decode_stream_tpu(props, blob, 10) == data
+
+
+def test_scan_corrupt_stream_rejected(corpus_dir):
+    """Bit-flip / truncation fuzz on the XLA scan backend: the decoder
+    must fail cleanly (DecodeError / RuntimeError) or visibly corrupt —
+    never return the original bytes (csc_dec.cpp:508-547 throws)."""
+    import numpy as np
+    from csc_tpu.golden.encoder import encode_stream
+    from csc_tpu.golden.decoder import DecodeError
+    from csc_tpu.props import props_init
+    with open(os.path.join(corpus_dir, "corpus_text1m.bin"), "rb") as f:
+        data = f.read(8 * 1024)
+    p = props_init(len(data), 1)
+    blob = encode_stream(p, data)
+    rng = np.random.default_rng(5)
+    variants = []
+    for k in range(4):                      # bit flips across the stream
+        bb = bytearray(blob)
+        bb[int(rng.integers(8, len(bb)))] ^= 1 << int(rng.integers(8))
+        variants.append(bytes(bb))
+    variants.append(blob[:len(blob) // 2])  # truncation
+    for v, vb in enumerate(variants):
+        try:
+            out = decode_batch([p], [vb], out_sizes=[len(data)],
+                               max_steps=400_000)[0]
+        except (DecodeError, RuntimeError, IndexError):
+            continue
+        assert out != data, ("corrupt variant %d decoded to the "
+                             "original bytes" % v)

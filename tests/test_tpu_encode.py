@@ -97,3 +97,17 @@ def test_encode_multichunk_roundtrip(corpus_dir):
     props.raw_blocksize = 24 * 1024
     blob = write_properties(props) + encode_stream_tpu(props, data)
     assert decode_stream_tpu(read_properties(blob[:10]), blob, 10) == data
+
+
+def test_encode_batch_mixed_presets(corpus_dir):
+    """Levels 1+2 in one batch: one device group per preset (no golden
+    fallback for the second preset), all byte-identical."""
+    with open(os.path.join(corpus_dir, "corpus_text1m.bin"), "rb") as f:
+        data = f.read(16 * 1024)
+    datas = [data, data[2048:12288], data, data[:8192]]
+    props = [_props(datas[0], 1), _props(datas[1], 2),
+             _props(datas[2], 2), _props(datas[3], 1)]
+    wants = [encode_stream(p, d) for p, d in zip(props, datas)]
+    gots = encode_batch(props, datas)
+    for w, g in zip(wants, gots):
+        assert g == w
