@@ -232,11 +232,15 @@ def fast_parse_step(st, cfg, good_len):
     upd("armed", fresh, 1)
     arming = fresh | (c & (st["armed"] == 1))
 
-    # ---- extend all live lanes, 32B per step
+    # ---- extend all live lanes, 4B/lane/iteration, early-exit: most
+    # matches settle in 1-2 iterations, so the (expensive) XLA gathers
+    # only run while some lane is still extending
     in4 = st["in4"]
     Nw = in4.shape[1]
-    alive_l = (q >= 0) & (l < lim)
-    for _ in range(8):
+    alive_l = (q >= 0) & (l < lim) & arming[:, None]
+
+    def _ext_body(carry):
+        l, alive_l, it = carry
         pi = jnp.clip(ppos[:, None] + l, 0, Nw - 1)
         qi = jnp.clip(q + l, 0, Nw - 1)
         w1 = jnp.take_along_axis(in4, pi, axis=1)
@@ -248,8 +252,13 @@ def fast_parse_step(st, cfg, good_len):
                                            jnp.where((x & 0xFFFFFF) != 0,
                                                      2, 3))))
         adv = jnp.minimum(eq, jnp.maximum(lim - l, 0))
-        l = jnp.where(alive_l & arming[:, None], l + adv, l)
+        l = jnp.where(alive_l, l + adv, l)
         alive_l = alive_l & (eq == 4) & (adv == 4) & (l < lim)
+        return l, alive_l, it + 1
+
+    l, alive_l, _ = jax.lax.while_loop(
+        lambda c: jnp.any(c[1]) & (c[2] < 8), _ext_body,
+        (l, alive_l, jnp.int32(0)))
     new["ext_q"] = jnp.where(_colm(arming), q, st["ext_q"])
     new["ext_lim"] = jnp.where(_colm(arming), lim, st["ext_lim"])
     new["ext_l"] = jnp.where(_colm(arming), l, st["ext_l"])

@@ -54,8 +54,20 @@ from .decode_scan import (
 F_PRIME = 22
 
 NP_ROWS = 12             # small prob tables as [B, NP_ROWS, 128] tile
-                         # (1164 entries used; tiled so the per-step
-                         # 256-lane state window stages into registers)
+
+# Kernel-local PADDED small-table layout: every probability tree is
+# aligned so its whole span lives inside ONE 128-lane row.  The per-step
+# state window is then a single staged row ([B,128] gathers/adapts and
+# one select per writeback row) instead of a 256-lane pair.  This is an
+# internal layout only — the wire format never sees prob indices; the
+# XLA scan (decode_scan.py) keeps the compact P_* layout.
+PP_STATE = 0             # 8*mstate + {0,1,2}=flag1/2/3, {4,5,6}=reptree
+PP_LEN = 512             # +0,+1 len slots; +16+node / +24+node lentree3
+                         # (tbl 1/2); +32 longlen
+PP_MLEX3 = 640           # +node (1..127), full row
+PP_DIST = 768            # + _PPDIST_POS[min(len,6)] + node (2 rows)
+PP_MDEXTRA = 1024        # + (ebits-1)*16 + node (29 trees, 16-aligned)
+_PPDIST_POS_NP = np.array([0, 16, 32, 64, 96, 128, 160], np.int32)
 TS = 16                  # tile sublanes (2 blocks of 8)
 BLK = 1024               # DMA block, elements
 TILE = TS * 128          # 2048
@@ -150,6 +162,22 @@ def _tile_gather(tile_refs, sub, lane, use_first=None):
     return jnp.sum(jnp.where(lane_oh, rowsel, 0), axis=1)
 
 
+def _tile_one(tile_refs, sub, use_first=None, nrows=TS):
+    """[B,128] = row sub of a [B,nrows,128] tile (single-row window)."""
+    if isinstance(tile_refs, tuple):
+        ra, rb = tile_refs
+    else:
+        ra, rb = tile_refs, None
+    B = sub.shape[0]
+    lo = jnp.zeros((B, 128), jnp.int32)
+    for s in range(nrows):
+        row = ra[:, s, :]
+        if rb is not None:
+            row = jnp.where(_col(use_first), row, rb[:, s, :])
+        lo = lo + jnp.where(sub[:, None] == s, row, 0)
+    return lo
+
+
 def _tile_pair(tile_refs, sub, use_first=None, nrows=TS):
     """[B,256] = rows sub and (sub+1)%nrows concatenated."""
     B = sub.shape[0]
@@ -204,6 +232,11 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
     import os as _os
     _ABL = set(filter(None, _os.environ.get("PDK_ABL", "").split(",")))
     KBITS = int(_os.environ.get("PDK_KBITS", "4"))
+    # PDK_DUP: profiling ablation by DUPLICATION — re-run a section with
+    # a runtime-zero perturbation (dz) and discard the result through a
+    # runtime-false select, so semantics are unchanged but the section's
+    # work doubles.  marginal(dup) - marginal(base) = section cost.
+    _DUP = set(filter(None, _os.environ.get("PDK_DUP", "").split(",")))
 
 
     def kernel(max_steps_ref,            # SMEM (1,1)
@@ -274,7 +307,7 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             done = g("done")
             opclass = _lut(jnp.clip(fsm, 0, 22), _OPC)
             node = g("node")
-            mstate3 = g("mstate") * 3
+            mstate8 = g("mstate") * 8
             ctx = g("ctx")
             wnd_pos = g("wnd_pos")
             live = (done == 0)
@@ -334,30 +367,29 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             new_bc_base = jnp.where(bc_miss, (bc_ptr >> 10) << 10, bc_base)
             new_rd_base = jnp.where(rd_miss, (src_eff >> 10) << 10, rd_base)
             grp_slot = g("grp_slot")
-            req[RQ_SWAP_NEW, :] = want_key
-            req[RQ_SWAP_OLD, :] = grp_key
-            new_slot = jnp.where(grp_miss, 1 - grp_slot, grp_slot)
-            req[RQ_SWAP_SLOT, :] = new_slot
             new_grp_key = jnp.where(grp_miss, want_key, grp_key)
+            # (RQ_SWAP_* payload rows are written after the transitions,
+            # where the ctx-change prefetch mask is known)
 
             # =================== BIT micro-op ============================
             # prob index: small tables vs group cache
             # nested-where select (jnp.select lowers to argmax, which
             # Mosaic only supports for f32)
             _sel_pairs = [
-                (fsm == F_FLAG1, P_STATE + mstate3),
-                (fsm == F_FLAG2, P_STATE + mstate3 + 1),
-                (fsm == F_FLAG3, P_STATE + mstate3 + 2),
-                (fsm == F_REPTREE, P_REPDIST + mstate3 + node - 1),
-                (fsm == F_LENSLOT0, jnp.full_like(node, P_MLSLOT)),
-                (fsm == F_LENSLOT1, jnp.full_like(node, P_MLSLOT + 1)),
+                (fsm == F_FLAG1, PP_STATE + mstate8),
+                (fsm == F_FLAG2, PP_STATE + mstate8 + 1),
+                (fsm == F_FLAG3, PP_STATE + mstate8 + 2),
+                (fsm == F_REPTREE, PP_STATE + mstate8 + 3 + node),
+                (fsm == F_LENSLOT0, jnp.full_like(node, PP_LEN)),
+                (fsm == F_LENSLOT1, jnp.full_like(node, PP_LEN + 1)),
                 (fsm == F_LENTREE3,
-                 jnp.where(g("len_tbl") == 1, P_MLEX1, P_MLEX2) + node),
-                (fsm == F_LENTREE7, P_MLEX3 + node),
-                (fsm == F_LONGLEN, jnp.full_like(node, P_LONGLEN)),
-                (fsm == F_DISTSLOT, P_DIST + g("pdist_pos") + node),
+                 jnp.where(g("len_tbl") == 1, PP_LEN + 16,
+                           PP_LEN + 24) + node),
+                (fsm == F_LENTREE7, PP_MLEX3 + node),
+                (fsm == F_LONGLEN, jnp.full_like(node, PP_LEN + 32)),
+                (fsm == F_DISTSLOT, PP_DIST + g("pdist_pos") + node),
                 (fsm == F_DISTEXTRA,
-                 P_MDEXTRA + (g("ebits") - 1) * 16 + node),
+                 PP_MDEXTRA + (g("ebits") - 1) * 16 + node),
             ]
             pidx = jnp.zeros_like(node)
             for _c, _v in _sel_pairs:
@@ -368,6 +400,11 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             # group-cache access is by tree node within the staged
             # 256-entry ctx subtree (see lit_pair below)
             use_gc = is_bit & uses_grp
+            # FLAG1 streams whose literal group is already resident may
+            # CHAIN into the literal tree within this same step (the
+            # group is usually resident thanks to the ctx-change
+            # prefetch issued when the previous token completed)
+            flag1_lit_ok = is_bit & (fsm == F_FLAG1) & (grp_key == want_key)
 
             # ---- K-bit unrolled range decode.  Bit 0 serves every BIT
             # state; bits 1..K-1 continue only streams still descending
@@ -375,22 +412,24 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             # descent), so the regular transition code below runs once on
             # the final node.  Each inner bit sees the previous bit's
             # adapted probabilities (RMW applied between bits).
-            rng = g("rc_range")
-            code = g("rc_code")
-            rc_ptrc = rc_ptr
-            rc_blk = g("rc_blk")
-            bit = jnp.zeros((B,), jnp.bool_)
-            nnode = node
+            dz = max_steps_ref[0, 0] >> 30          # runtime 0 (profiling)
+            dcol = jnp.full((B, 1), dz) != 0        # runtime False
 
             # the whole literal/entropy tree descent hits ONE 256-entry
             # ctx subtree (2 tile rows): stage it into a register pair so
             # per-bit group access is a [B,256] one-hot, and write it back
             # once after the K bits (csc_model.h:104 layout)
             gsub_lit = grp_slot * 8 + (ctx & 3) * 2
+            use_gc_any = use_gc | flag1_lit_ok
             lit_pair = jax.lax.cond(
-                jnp.any(use_gc),
+                jnp.any(use_gc_any),
                 lambda: _tile_pair(grp, gsub_lit),
                 lambda: jnp.zeros((B, 256), jnp.int32))
+            if "stage" in _DUP:
+                lit_pair = jnp.where(dcol, jax.lax.cond(
+                    jnp.any(use_gc_any),
+                    lambda: _tile_pair(grp, gsub_lit + dz),
+                    lambda: jnp.zeros((B, 256), jnp.int32)), lit_pair)
 
             # stage the next <=256 coder bytes as a register pair too: a
             # K-bit step refills at most K bytes, all within the window
@@ -401,34 +440,52 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                 jnp.any(is_bit),
                 lambda: _tile_pair(rc_t, jnp.clip(roff0 >> 7, 0, TS - 1)),
                 lambda: jnp.zeros((B, 256), jnp.int32))
+            if "stage" in _DUP:
+                rc_pair = jnp.where(dcol, jax.lax.cond(
+                    jnp.any(is_bit),
+                    lambda: _tile_pair(
+                        rc_t, jnp.clip((roff0 >> 7) + dz, 0, TS - 1)),
+                    lambda: jnp.zeros((B, 256), jnp.int32)), rc_pair)
 
             # ...and the small-table window: every small-table index a
             # stream can touch during this step lies in ONE 256-lane
             # window anchored by its bit-0 state (trees never change fsm
             # mid-descent; all spans <=128, see csc_model.h tables)
+            # the padded layout guarantees every tree a stream can touch
+            # during this step lies in ONE 128-lane row (win_row)
             base_small = jnp.zeros_like(node)
             for _c, _v in [
                     ((fsm == F_FLAG1) | (fsm == F_FLAG2)
-                     | (fsm == F_FLAG3), P_STATE + mstate3),
-                    (fsm == F_REPTREE, P_REPDIST + mstate3),
-                    ((fsm == F_LENSLOT0) | (fsm == F_LENSLOT1),
-                     jnp.full_like(node, P_MLSLOT)),
-                    (fsm == F_LENTREE3,
-                     jnp.where(g("len_tbl") == 1, P_MLEX1, P_MLEX2)),
-                    (fsm == F_LENTREE7, jnp.full_like(node, P_MLEX3)),
-                    (fsm == F_LONGLEN, jnp.full_like(node, P_LONGLEN)),
-                    (fsm == F_DISTSLOT, P_DIST + g("pdist_pos")),
+                     | (fsm == F_FLAG3) | (fsm == F_REPTREE),
+                     PP_STATE + mstate8),
+                    ((fsm == F_LENSLOT0) | (fsm == F_LENSLOT1)
+                     | (fsm == F_LENTREE3) | (fsm == F_LONGLEN),
+                     jnp.full_like(node, PP_LEN)),
+                    (fsm == F_LENTREE7, jnp.full_like(node, PP_MLEX3)),
+                    (fsm == F_DISTSLOT, PP_DIST + g("pdist_pos")),
                     (fsm == F_DISTEXTRA,
-                     P_MDEXTRA + (g("ebits") - 1) * 16)]:
+                     PP_MDEXTRA + (g("ebits") - 1) * 16)]:
                 base_small = jnp.where(_c, _v, base_small)
-            win_base = base_small & ~127
-            win_row = jnp.clip(win_base >> 7, 0, NP_ROWS - 2)
-            small_pair = jax.lax.cond(
+            win_row = jnp.clip(base_small >> 7, 0, NP_ROWS - 1)
+            win_base = win_row << 7
+            small_win = jax.lax.cond(
                 jnp.any(use_small),
-                lambda: _tile_pair(probs, win_row, nrows=NP_ROWS),
-                lambda: jnp.zeros((B, 256), jnp.int32))
+                lambda: _tile_one(probs, win_row, nrows=NP_ROWS),
+                lambda: jnp.zeros((B, 128), jnp.int32))
+            if "stage" in _DUP:
+                small_win = jnp.where(dcol[:, :1], jax.lax.cond(
+                    jnp.any(use_small),
+                    lambda: _tile_one(probs, win_row + dz,
+                                      nrows=NP_ROWS),
+                    lambda: jnp.zeros((B, 128), jnp.int32)), small_win)
 
-            for ibit in range(KBITS):
+            def _kloop(rng, code, rc_ptrc, rc_blk, nnode, small_win,
+                       lit_pair):
+              bit = jnp.zeros((B,), jnp.bool_)
+              lit_chain = jnp.zeros((B,), jnp.bool_)
+              comb = jnp.zeros((B, 256), jnp.int32)
+              gc_cls = jnp.zeros((B,), jnp.bool_)
+              for ibit in range(KBITS):
                 if ibit == 0:
                     act = is_bit
                     use_gc_i = use_gc
@@ -444,21 +501,22 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                     tree_lim = jnp.where(
                         fsm == F_DISTSLOT,
                         1 << jnp.clip(g("sbits"), 0, 5), tree_lim)
-                    act = is_bit & (tree_lim > 0) & (nnode < tree_lim)
-                    use_gc_i = act & uses_grp
-                    use_small_i = act & ~uses_grp
+                    act = (is_bit & (tree_lim > 0) & (nnode < tree_lim)) \
+                        | (lit_chain & (nnode < 0x100))
+                    use_gc_i = act & gc_cls
+                    use_small_i = act & ~gc_cls
                     pidx_i = jnp.zeros_like(node)
                     for _c, _v in [
                             (fsm == F_REPTREE,
-                             P_REPDIST + mstate3 + nnode - 1),
+                             PP_STATE + mstate8 + 3 + nnode),
                             (fsm == F_LENTREE3,
-                             jnp.where(g("len_tbl") == 1, P_MLEX1,
-                                       P_MLEX2) + nnode),
-                            (fsm == F_LENTREE7, P_MLEX3 + nnode),
+                             jnp.where(g("len_tbl") == 1, PP_LEN + 16,
+                                       PP_LEN + 24) + nnode),
+                            (fsm == F_LENTREE7, PP_MLEX3 + nnode),
                             (fsm == F_DISTSLOT,
-                             P_DIST + g("pdist_pos") + nnode),
+                             PP_DIST + g("pdist_pos") + nnode),
                             (fsm == F_DISTEXTRA,
-                             P_MDEXTRA + (g("ebits") - 1) * 16 + nnode)]:
+                             PP_MDEXTRA + (g("ebits") - 1) * 16 + nnode)]:
                         pidx_i = jnp.where(_c, _v, pidx_i)
                     pidx_i = jnp.where(use_small_i, pidx_i, 0)
 
@@ -475,29 +533,47 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                 rc_blk = jnp.where(need & (rc_ptrc >= rc_end),
                                    rc_blk + 1, rc_blk)
 
-                # gather probability from the staged register pairs
-                swoff = jnp.clip(pidx_i - win_base, 0, 255)
-                oh_small = lane256 == jnp.where(use_small_i,
-                                                swoff, -1)[:, None]
-                p_small = jnp.sum(jnp.where(oh_small, small_pair, 0),
-                                  axis=1)
-                oh_gc = lane256 == jnp.where(use_gc_i, nnode, 0)[:, None]
-                p_gc = jnp.sum(jnp.where(oh_gc, lit_pair, 0), axis=1)
-                p = jnp.where(use_gc_i, p_gc, p_small)
+                if ibit == 0:
+                    # bit 0: separate small/gc gathers (FLAG1 streams
+                    # read their flag prob from the small window, then
+                    # may chain into the literal tree from bit 1)
+                    swoff = jnp.clip(pidx_i - win_base, 0, 127)
+                    oh_small = lane128 == jnp.where(use_small_i,
+                                                    swoff, -1)[:, None]
+                    p_small = jnp.sum(jnp.where(oh_small, small_win, 0),
+                                      axis=1)
+                    oh_gc = lane256 == jnp.where(use_gc_i, nnode,
+                                                 0)[:, None]
+                    p_gc = jnp.sum(jnp.where(oh_gc, lit_pair, 0), axis=1)
+                    p = jnp.where(use_gc_i, p_gc, p_small)
+                else:
+                    # bits 1..K-1: ONE gather from the per-stream merged
+                    # window (gc streams: lit subtree; small streams:
+                    # their 128-lane state row, duplicated)
+                    swoff = jnp.clip(pidx_i - win_base, 0, 127)
+                    idx = jnp.where(use_gc_i, nnode,
+                                    jnp.where(use_small_i, swoff, -1))
+                    oh = lane256 == idx[:, None]
+                    p = jnp.sum(jnp.where(oh, comb, 0), axis=1)
 
                 bound = _i32(_u32(jnp.where(act, rng, 0)) >> 12) * p
                 b_i = _ult(code, bound) & act
                 new_p = jnp.where(b_i, p + ((0xFFF - p) >> 5),
                                   p - (p >> 5))
 
-                # adapt in the register pairs; flushed after the K bits
-                small_pair = jnp.where(
-                    oh_small & _col(use_small_i),
-                    jnp.broadcast_to(new_p[:, None], (B, 256)),
-                    small_pair)
-                lit_pair = jnp.where(
-                    oh_gc & _col(use_gc_i),
-                    jnp.broadcast_to(new_p[:, None], (B, 256)), lit_pair)
+                if ibit == 0:
+                    small_win = jnp.where(
+                        oh_small & _col(use_small_i),
+                        jnp.broadcast_to(new_p[:, None], (B, 128)),
+                        small_win)
+                    lit_pair = jnp.where(
+                        oh_gc & _col(use_gc_i),
+                        jnp.broadcast_to(new_p[:, None], (B, 256)),
+                        lit_pair)
+                else:
+                    comb = jnp.where(
+                        oh, jnp.broadcast_to(new_p[:, None], (B, 256)),
+                        comb)
                 rng = jnp.where(act, jnp.where(b_i, bound, rng - bound),
                                 rng)
                 code = jnp.where(act & ~b_i, code - bound, code)
@@ -505,28 +581,56 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                     bit = b_i
                 nnode = jnp.where(act, nnode * 2 + jnp.where(b_i, 1, 0),
                                   nnode)
+                if ibit == 0 and KBITS > 1:
+                    # FLAG1(bit=0) chains into the literal tree
+                    lit_chain = flag1_lit_ok & ~b_i
+                    nnode = jnp.where(lit_chain, 1, nnode)
+                    gc_cls = (uses_grp & is_bit) | lit_chain
+                    comb = jnp.where(
+                        _col(gc_cls), lit_pair,
+                        jnp.concatenate([small_win, small_win], axis=1))
+              if KBITS > 1:
+                  # split the merged window back
+                  lit_pair = jnp.where(_col(gc_cls), comb, lit_pair)
+                  small_win = jnp.where(_col(use_small & ~gc_cls),
+                                        comb[:, :128], small_win)
+              return (rng, code, rc_ptrc, rc_blk, bit, nnode, small_win,
+                      lit_pair, lit_chain)
+
+            kres = _kloop(g("rc_range"), g("rc_code"), rc_ptr,
+                          g("rc_blk"), node, small_win, lit_pair)
+            if "bits" in _DUP:
+                kres2 = _kloop(g("rc_range") + dz, g("rc_code"), rc_ptr,
+                               g("rc_blk"), node, small_win, lit_pair)
+                kres = tuple(jnp.where(dz != 0, r2, r)
+                             for r, r2 in zip(kres, kres2))
+            (rng, code, rc_ptrc, rc_blk, bit, nnode, small_win,
+             lit_pair, lit_chain) = kres
+            use_gc2 = use_gc | lit_chain
 
             def _wb_pair(_):
                 for s in range(TS):
-                    lo_m = use_gc & (gsub_lit == s)
-                    hi_m = use_gc & (gsub_lit + 1 == s)
+                    lo_m = use_gc2 & (gsub_lit == s)
+                    hi_m = use_gc2 & (gsub_lit + 1 == s)
                     grp[:, s, :] = jnp.where(
                         _col(lo_m), lit_pair[:, :128],
                         jnp.where(_col(hi_m), lit_pair[:, 128:],
                                   grp[:, s, :]))
                 return 0
-            jax.lax.cond(jnp.any(use_gc), _wb_pair, lambda _: 0, 0)
+            jax.lax.cond(jnp.any(use_gc2), _wb_pair, lambda _: 0, 0)
+            if "wb" in _DUP:
+                jax.lax.cond(jnp.any(use_gc2), _wb_pair, lambda _: 0, dz)
 
             def _wb_small(_):
                 for s in range(NP_ROWS):
-                    lo_m = use_small & (win_row == s)
-                    hi_m = use_small & (win_row + 1 == s)
+                    m = use_small & (win_row == s)
                     probs[:, s, :] = jnp.where(
-                        _col(lo_m), small_pair[:, :128],
-                        jnp.where(_col(hi_m), small_pair[:, 128:],
-                                  probs[:, s, :]))
+                        _col(m), small_win, probs[:, s, :])
                 return 0
             jax.lax.cond(jnp.any(use_small), _wb_small, lambda _: 0, 0)
+            if "wb" in _DUP:
+                jax.lax.cond(jnp.any(use_small), _wb_small,
+                             lambda _: 0, dz)
             rc_ptr2 = rc_ptrc
 
             # =================== DIRECT micro-op =========================
@@ -534,21 +638,31 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             size_rem = g("size_rem")
             two_phase = direct_rem > 16
             nbits = jnp.where(two_phase, direct_rem - 16, direct_rem)
+            # BADBYTES: 2 bytes per step unless that write would cross a
+            # 128-lane row (single-row window-write invariant)
             nbits = jnp.where(fsm == F_BADBYTES,
-                              jnp.where(size_rem >= 2, 16, 8), nbits)
+                              jnp.where((size_rem >= 2)
+                                        & ((wnd_pos & 127) != 127),
+                                        16, 8), nbits)
             nbits = jnp.where(is_dir, nbits, 0)
 
-            def _dir_read():
+            def _dir_read(poff=0):
                 bc_val_, bc_bits_ = g("bc_val"), g("bc_bits")
-                bc_ptr_, bc_blk_ = bc_ptr, g("bc_blk")
+                bc_ptr_, bc_blk_ = bc_ptr + poff, g("bc_blk")
                 bc_end = ends_gather(bc_ends_ref,
                                      jnp.clip(bc_blk_, 0, NB - 1))
+                # stage the next <=256 bc bytes once; the <=3 refill
+                # bytes all lie inside this pair (stall check guarantees
+                # bc_ptr+4 <= bc_base+TILE residency)
+                boff0 = bc_ptr - bc_base
+                bwin_base = bc_base + (boff0 & ~127)
+                bc_pair = _tile_pair(bc_t, jnp.clip(boff0 >> 7, 0,
+                                                    TS - 1))
                 for _ in range(3):
                     need = is_dir & (bc_bits_ < nbits)
-                    boff = bc_ptr_ - bc_base
-                    bbyte = _tile_gather(bc_t,
-                                         jnp.clip(boff >> 7, 0, TS - 1),
-                                         boff & 127)
+                    woffb = jnp.clip(bc_ptr_ - bwin_base, 0, 255)
+                    bbyte = jnp.sum(jnp.where(
+                        lane256 == woffb[:, None], bc_pair, 0), axis=1)
                     bc_val_ = jnp.where(need, ((bc_val_ << 8) | bbyte),
                                         bc_val_)
                     bc_ptr_ = jnp.where(need, bc_ptr_ + 1, bc_ptr_)
@@ -570,6 +684,14 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                 jnp.any(is_dir), _dir_read,
                 lambda: (jnp.zeros((B,), jnp.int32), g("bc_val"),
                          g("bc_bits"), bc_ptr, g("bc_blk")))
+            if "dir" in _DUP:
+                dres = jax.lax.cond(
+                    jnp.any(is_dir), lambda: _dir_read(dz),
+                    lambda: (jnp.zeros((B,), jnp.int32), g("bc_val"),
+                             g("bc_bits"), bc_ptr, g("bc_blk")))
+                (dval, bc_val, bc_bits, bc_ptr2, bc_blk) = tuple(
+                    jnp.where(dz != 0, b2, a) for a, b2 in zip(
+                        (dval, bc_val, bc_bits, bc_ptr2, bc_blk), dres))
 
             # =================== PRIME micro-op ==========================
             # read 4 big-endian code bytes at rc_ptr+1..+4 (csc_dec.cpp:340)
@@ -592,22 +714,30 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             cl = jnp.minimum(jnp.minimum(cpy_rem, CH), avail)
             cl = jnp.where(use_out, cl,
                            jnp.minimum(cl, rd_base + TILE - src_eff))
+            # row caps: keep the read and the write each inside ONE
+            # 128-lane row (single-row rot+select instead of a 256-lane
+            # pair); a crossing copy just takes another COPY step
+            cl = jnp.minimum(cl, 128 - (src_eff & 127))
+            cl = jnp.minimum(cl, 128 - (wnd_pos & 127))
             # (src_eff>=out_lo guarantees out-ring residency; reads
             #  below wnd_pos only, enforced by the avail cap)
             cl = jnp.where(is_cpy, jnp.maximum(cl, 0), 0)
 
-            def _copy_read():
-                osub = (src_eff >> 7) & (TS - 1)
-                rsub = jnp.clip((src_eff - rd_base) >> 7, 0, TS - 1)
+            def _copy_read(off):
+                osub = (off >> 7) & (TS - 1)
+                rsub = jnp.clip((off - rd_base) >> 7, 0, TS - 1)
                 pairsub = jnp.where(use_out, osub, rsub)
-                pair = _tile_pair((out_t, rd_t), pairsub,
-                                  use_first=use_out)
-                aligned = _rot_left(pair, src_eff & 127, 256)
-                return aligned[:, :128]
+                row = _tile_one((out_t, rd_t), pairsub,
+                                use_first=use_out)
+                return _rot_left(row, off & 127, 128)
 
             copy_chunk = jax.lax.cond(
-                jnp.any(is_cpy), _copy_read,
+                jnp.any(is_cpy), lambda: _copy_read(src_eff),
                 lambda: jnp.zeros((B, 128), jnp.int32))
+            if "copy" in _DUP:
+                copy_chunk = jnp.where(dcol, jax.lax.cond(
+                    jnp.any(is_cpy), lambda: _copy_read(src_eff + dz),
+                    lambda: jnp.zeros((B, 128), jnp.int32)), copy_chunk)
 
             # ---- unified window write (copy chunk OR literal/raw bytes)
             # byte-write values are filled in by the transition section
@@ -655,9 +785,9 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             upd("fsm", cb, F_REPTREE)
             upd("node", cb, 1)
 
-            # --- LITTREE
+            # --- LITTREE (including FLAG1 streams that chained this step)
             # nnode accumulated by the K-bit loop above
-            c = is_bit & (fsm == F_LITTREE)
+            c = (is_bit & (fsm == F_LITTREE)) | lit_chain
             lit_done = c & (nnode >= 0x100)
             lit_byte = nnode & 0xFF
             upd("node", c, nnode)
@@ -724,7 +854,8 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             upd("fsm", ld_match, F_DISTSLOT)
             upd("node", ld_match, 1)
             wl_c = jnp.minimum(wl, 6)
-            upd("pdist_pos", ld_match, _lut(wl_c, _PDIST_POS))
+            # pdist_pos holds the PADDED layout offset (kernel-local)
+            upd("pdist_pos", ld_match, _lut(wl_c, _PPDIST_POS_NP))
             upd("sbits", ld_match, _lut(wl_c, _PDIST_BITS))
 
             ld_rep = len_done & (g("len_for") == LF_REP)
@@ -834,12 +965,13 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
 
             ip = g("int_purpose")
             bt = cdone & (ip == IP_BLOCKTYPE)
-            # blk_log one-hot scatter: lanes 2*cnt, 2*cnt+1
+            # blk_log one-hot scatter: lanes 2*cnt, 2*cnt+1 (the one-hot
+            # compares are inside the cond: block headers are rare steps)
             blk_cnt = g("blk_cnt")
-            logpos = jnp.minimum(blk_cnt, max_blocks - 1) * 2
-            ohl = lane_log == logpos[:, None]
-            ohl2 = lane_log == (logpos + 1)[:, None]
             def _log_block(_):
+                logpos = jnp.minimum(blk_cnt, max_blocks - 1) * 2
+                ohl = lane_log == logpos[:, None]
+                ohl2 = lane_log == (logpos + 1)[:, None]
                 blklog_ref[:] = jnp.where(
                     ohl & _col(bt),
                     jnp.broadcast_to(num[:, None], (B, 2 * max_blocks)),
@@ -973,26 +1105,22 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             dlane = wbase & 127
             wany = (wlen > 0)
 
-            def _wnd_write(_):
-                pos256 = _rot_right(
-                    jnp.concatenate([bytes_vec,
-                                     jnp.zeros((B, 128), jnp.int32)],
-                                    axis=1),
-                    dlane, 256)
-                # lane k of row dsub valid iff dlane <= k < dlane+wlen
-                # lane k of row dsub+1 valid iff k + 128 < dlane + wlen
-                vlo = (lane128 >= dlane[:, None]) \
-                    & (lane128 < (dlane + wlen)[:, None])
-                vhi = (lane128 + 128) < (dlane + wlen)[:, None]
-                dsub1 = (dsub + 1) & (TS - 1)
+            def _wnd_write(off):
+                # all writers are row-capped (copy cl, BADBYTES nwr at
+                # lane 127, 1-byte literals) -> single-row write
+                dlane_e = dlane + off
+                pos128 = _rot_right(bytes_vec, dlane_e, 128)
+                v = (lane128 >= dlane_e[:, None]) \
+                    & (lane128 < (dlane_e + wlen)[:, None])
                 for s in range(TS):
-                    mlo = vlo & _col((dsub == s) & wany)
-                    mhi = vhi & _col((dsub1 == s) & wany)
-                    out_t[:, s, :] = jnp.where(
-                        mlo, pos256[:, :128],
-                        jnp.where(mhi, pos256[:, 128:], out_t[:, s, :]))
+                    m = v & _col((dsub == s) & wany)
+                    out_t[:, s, :] = jnp.where(m, pos128, out_t[:, s, :])
                 return 0
-            jax.lax.cond(jnp.any(wany), _wnd_write, lambda _: 0, 0)
+            jax.lax.cond(jnp.any(wany), lambda: _wnd_write(0),
+                         lambda: 0)
+            if "write" in _DUP:
+                jax.lax.cond(jnp.any(wany), lambda: _wnd_write(dz),
+                             lambda: 0)
 
             # flush request when a 1KB block boundary is crossed
             new_wp = new[_RI["wnd_pos"]]
@@ -1002,12 +1130,31 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             req[RQ_FLUSH_P, :] = flushed
             upd("flushed_blk", flush_mask, flushed + 1)
 
+            # ---- ctx-change literal-group prefetch: when a token
+            # completes and the NEXT literal/entropy byte will need a
+            # different prob group, issue the swap in THIS step's service
+            # so the next step's FLAG1 can chain without a stall
+            new_ctx = new[_RI["ctx"]]
+            pf_key = new_ctx >> 2
+            ctx_set = lit_done | copy_done | (ent_done & ~ent_blk_done)
+            prefetch = ctx_set & (pf_key != new_grp_key) & live
+            swap_any = grp_miss | prefetch
+            req[RQ_SWAP_NEW, :] = jnp.where(prefetch, pf_key, want_key)
+            req[RQ_SWAP_OLD, :] = grp_key
+            new_slot = jnp.where(swap_any, 1 - grp_slot, grp_slot)
+            req[RQ_SWAP_SLOT, :] = new_slot
+            new_grp_key = jnp.where(prefetch, pf_key, new_grp_key)
+
             # ---- compacted service request ids (after all masks known)
             emit(RQ_FLUSH_IDS, flush_mask)
             emit(RQ_FETCH_IDS, rd_miss)
-            emit(RQ_SWAP_IDS, grp_miss)
+            emit(RQ_SWAP_IDS, swap_any)
             emit(RQ_RC_IDS, rc_miss)
             emit(RQ_BC_IDS, bc_miss)
+            if "emit" in _DUP:   # spare rows 13-15; service never reads them
+                emit(13, flush_mask ^ (dz != 0))
+                emit(14, rd_miss ^ (dz != 0))
+                emit(15, grp_miss ^ (dz != 0))
 
             # pointer/overflow hardening (corrupt streams must halt, not
             # run to the step cap or overflow HBM; csc_dec.cpp:508-547)
@@ -1024,8 +1171,8 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             upd("rc_base", rc_miss, new_rc_base)
             upd("bc_base", bc_miss, new_bc_base)
             upd("rd_base", rd_miss, new_rd_base)
-            upd("grp_key", grp_miss, new_grp_key)
-            upd("grp_slot", grp_miss, new_slot)
+            upd("grp_key", swap_any, new_grp_key)
+            upd("grp_slot", swap_any, new_slot)
 
             new[_RI["rc_code"]] = jnp.where(is_bit, code,
                                             new[_RI["rc_code"]])
@@ -1191,8 +1338,20 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                 req[:] = jnp.full((NRQ, B), -1, jnp.int32)
             else:
                 new = vstep(rg)
+                if "vec" in _DUP:
+                    # run the whole vector phase twice with a runtime-0
+                    # input perturbation; all side effects (req rows,
+                    # tile writes) are value-identical, the merge is a
+                    # runtime-false select -> semantics unchanged, work
+                    # doubled.  Calibrates the section DUP estimates.
+                    dz0 = max_steps_ref[0, 0] >> 30
+                    new2 = vstep(tuple(r + dz0 for r in rg))
+                    new = [jnp.where(dz0 != 0, b2, a)
+                           for a, b2 in zip(new, new2)]
             if _prof != "noserv":
                 service()
+                if "serv" in _DUP:
+                    service()
             return step + 1, tuple(new)
 
         rg0 = tuple(regs_ref[i, :] for i in range(NR))
@@ -1315,6 +1474,20 @@ def _bucket(n, lo=1024):
     return b
 
 
+def _bucket15(n, lo=1024):
+    """Smallest of {2^k, 3*2^(k-1)} >= n: a 1.33/1.5-step size ladder.
+    Tighter than pow2 (max 33% padding) at ~2x the jit-cache entries;
+    used for the wire-dominant coder arrays (the axon host<->device
+    tunnel is ~20 MB/s, so every padded byte is wall time)."""
+    b = lo
+    while True:
+        if b >= n:
+            return b
+        if b + b // 2 >= n:
+            return b + b // 2
+        b *= 2
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def _pack_bytes(wnd_o, lmax):
     """[B, S, 128] byte-per-i32-lane -> [B, lmax/4] packed i32 (device)."""
@@ -1360,8 +1533,8 @@ def decode_batch_pallas(props_list, blobs, positions=None, out_sizes=None,
     be2 = np.full((b, nb), 0x7FFFFFFF, np.int32)
     be2[:, :bc_ends.shape[1]] = bc_ends
 
-    nrc = _bucket(rc.shape[1] + TILE + 8)
-    nbc = _bucket(bc.shape[1] + TILE + 8)
+    nrc = _bucket15(rc.shape[1] + TILE + 8)
+    nbc = _bucket15(bc.shape[1] + TILE + 8)
     # ship coder inputs as u8 and widen to byte-per-i32-lane on device:
     # the axon tunnel is bandwidth-bound (~20 MB/s), so 4x fewer wire
     # bytes is 4x less transfer wall time

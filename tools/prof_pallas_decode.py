@@ -89,10 +89,12 @@ def run(nsteps):
     return int(np.asarray(outs[5])[0, 0])
 
 
-N1, N2 = 2000, 22000
+N1 = int(os.environ.get("PDK_N1", "2000"))
+N2 = int(os.environ.get("PDK_N2", "22000"))
 run(N1)  # compile + warm
 t0 = time.time(); s1 = run(N1); t1 = time.time()
 s2 = run(N2); t2 = time.time()
-per = (t2 - t1 - (t1 - t0)) / (s2 - s1) * 1e6
-print(f"variant={variant} B={B} t(N1={s1})={t1 - t0:.3f}s "
+per = (t2 - t1 - (t1 - t0)) / max(s2 - s1, 1) * 1e6
+dup = os.environ.get("PDK_DUP", "")
+print(f"variant={variant} dup={dup} B={B} t(N1={s1})={t1 - t0:.3f}s "
       f"t(N2={s2})={t2 - t1:.3f}s marginal={per:.2f} us/step")
