@@ -68,12 +68,17 @@ def main():
     outs = decode_batch(props, blobs, [10] * B, out_sizes=[CH] * B)
     ok = all(o == c for o, c in zip(outs, chunks))
 
+    os.environ["CSC_DECODE_TIMING"] = "1"
     t0 = time.time()
     outs = decode_batch(props, blobs, [10] * B, out_sizes=[CH] * B)
     t1 = time.time()
+    del os.environ["CSC_DECODE_TIMING"]
     ok = ok and all(o == c for o, c in zip(outs, chunks))
 
     mbps = (B * CH) / (t1 - t0) / 1e6
+    from csc_tpu.ops import pallas_decode as _pd
+    kmbps = ((B * CH) / _pd.LAST_KERNEL_SECONDS / 1e6
+             if _pd.LAST_KERNEL_SECONDS else 0.0)
 
     # encode metric (fast parse + Pallas phase B); round-trip verified
     from csc_tpu.ops.pipeline import encode_batch
@@ -100,6 +105,7 @@ def main():
         "streams": B,
         "chunk_bytes": CH,
         "wall_s": round(t1 - t0, 3),
+        "decode_kernel_mbps": round(kmbps, 3),
         "encode_mbps": round(embps, 3),
         "encode_vs_ref_1core": round(embps / REF_ENC_MBPS, 4),
     }))

@@ -78,6 +78,10 @@ ERR_NONE = 0
 ERR_CORRUPT = 1
 ERR_UNSUPPORTED = 2      # DT_DLT: host falls back to the XLA scan
 
+# kernel wall seconds of the last decode_batch_pallas group, recorded
+# when CSC_DECODE_TIMING is set (bench telemetry)
+LAST_KERNEL_SECONDS = 0.0
+
 _DIST_TABLE_NP = np.array(DIST_TABLE, np.int32)
 _REV16_NP = np.array(REV16_TABLE, np.int32)
 
@@ -162,6 +166,15 @@ def _tile_gather(tile_refs, sub, lane, use_first=None):
     return jnp.sum(jnp.where(lane_oh, rowsel, 0), axis=1)
 
 
+def _row_onehot(sub, nrows):
+    """[B,nrows] one-hot of per-stream row index.  ONE lane->sublane
+    relayout (sub[:,None]) instead of one per unrolled row — the
+    per-row masks are then cheap [B,1] column slices."""
+    B = sub.shape[0]
+    io = jax.lax.broadcasted_iota(jnp.int32, (B, nrows), 1)
+    return io == sub[:, None]
+
+
 def _tile_one(tile_refs, sub, use_first=None, nrows=TS):
     """[B,128] = row sub of a [B,nrows,128] tile (single-row window)."""
     if isinstance(tile_refs, tuple):
@@ -169,12 +182,14 @@ def _tile_one(tile_refs, sub, use_first=None, nrows=TS):
     else:
         ra, rb = tile_refs, None
     B = sub.shape[0]
+    oh = _row_onehot(sub, nrows)
+    ufcol = None if rb is None else _col(use_first)
     lo = jnp.zeros((B, 128), jnp.int32)
     for s in range(nrows):
         row = ra[:, s, :]
         if rb is not None:
-            row = jnp.where(_col(use_first), row, rb[:, s, :])
-        lo = lo + jnp.where(sub[:, None] == s, row, 0)
+            row = jnp.where(ufcol, row, rb[:, s, :])
+        lo = lo + jnp.where(oh[:, s:s + 1], row, 0)
     return lo
 
 
@@ -185,15 +200,18 @@ def _tile_pair(tile_refs, sub, use_first=None, nrows=TS):
         ra, rb = tile_refs
     else:
         ra, rb = tile_refs, None
+    oh = _row_onehot(sub, nrows)
+    ufcol = None if rb is None else _col(use_first)
     lo = jnp.zeros((B, 128), jnp.int32)
     hi = jnp.zeros((B, 128), jnp.int32)
-    sub1 = (sub + 1) % nrows
     for s in range(nrows):
         row = ra[:, s, :]
         if rb is not None:
-            row = jnp.where(_col(use_first), row, rb[:, s, :])
-        lo = lo + jnp.where(sub[:, None] == s, row, 0)
-        hi = hi + jnp.where(sub1[:, None] == s, row, 0)
+            row = jnp.where(ufcol, row, rb[:, s, :])
+        lo = lo + jnp.where(oh[:, s:s + 1], row, 0)
+        # row s is the HI row for streams whose sub == s-1 (mod nrows)
+        hi = hi + jnp.where(oh[:, (s - 1) % nrows:(s - 1) % nrows + 1],
+                            row, 0)
     return jnp.concatenate([lo, hi], axis=1)
 
 
@@ -231,7 +249,7 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
     arrays.  NB: framing block table width."""
     import os as _os
     _ABL = set(filter(None, _os.environ.get("PDK_ABL", "").split(",")))
-    KBITS = int(_os.environ.get("PDK_KBITS", "4"))
+    KBITS = int(_os.environ.get("PDK_KBITS", "9"))
     # PDK_DUP: profiling ablation by DUPLICATION — re-run a section with
     # a runtime-zero perturbation (dz) and discard the result through a
     # runtime-false select, so semantics are unchanged but the section's
@@ -609,12 +627,14 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             use_gc2 = use_gc | lit_chain
 
             def _wb_pair(_):
+                ohg = _row_onehot(gsub_lit, TS) & _col(use_gc2)
                 for s in range(TS):
-                    lo_m = use_gc2 & (gsub_lit == s)
-                    hi_m = use_gc2 & (gsub_lit + 1 == s)
+                    lo_m = ohg[:, s:s + 1]
+                    hi_m = (ohg[:, s - 1:s]
+                            if s > 0 else jnp.zeros((B, 1), jnp.bool_))
                     grp[:, s, :] = jnp.where(
-                        _col(lo_m), lit_pair[:, :128],
-                        jnp.where(_col(hi_m), lit_pair[:, 128:],
+                        lo_m, lit_pair[:, :128],
+                        jnp.where(hi_m, lit_pair[:, 128:],
                                   grp[:, s, :]))
                 return 0
             jax.lax.cond(jnp.any(use_gc2), _wb_pair, lambda _: 0, 0)
@@ -622,10 +642,10 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                 jax.lax.cond(jnp.any(use_gc2), _wb_pair, lambda _: 0, dz)
 
             def _wb_small(_):
+                ohr = _row_onehot(win_row, NP_ROWS) & _col(use_small)
                 for s in range(NP_ROWS):
-                    m = use_small & (win_row == s)
                     probs[:, s, :] = jnp.where(
-                        _col(m), small_win, probs[:, s, :])
+                        ohr[:, s:s + 1], small_win, probs[:, s, :])
                 return 0
             jax.lax.cond(jnp.any(use_small), _wb_small, lambda _: 0, 0)
             if "wb" in _DUP:
@@ -1112,8 +1132,9 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                 pos128 = _rot_right(bytes_vec, dlane_e, 128)
                 v = (lane128 >= dlane_e[:, None]) \
                     & (lane128 < (dlane_e + wlen)[:, None])
+                ohd = _row_onehot(dsub, TS) & _col(wany)
                 for s in range(TS):
-                    m = v & _col((dsub == s) & wany)
+                    m = v & ohd[:, s:s + 1]
                     out_t[:, s, :] = jnp.where(m, pos128, out_t[:, s, :])
                 return 0
             jax.lax.cond(jnp.any(wany), lambda: _wnd_write(0),
@@ -1548,64 +1569,21 @@ def decode_batch_pallas(props_list, blobs, positions=None, out_sizes=None,
     else:
         wmax = max(p.dict_size for p in props_list)
 
-    rc_d = bc_d = None
-    while True:
-        nw = _bucket(wmax + 2 * TILE, 4096)
-
-        steps_cap = max_steps
-        if steps_cap is None:
-            steps_cap = int(8 * rc.shape[1] + bc.shape[1] + 64 + 2 * wmax)
-
-        regs = np.zeros((NR, b), np.int32)
-        regs[_RI["fsm"], :] = F_PRIME
-        regs[_RI["rc_base"], :] = -(1 << 20)
-        regs[_RI["bc_base"], :] = -(1 << 20)
-        regs[_RI["rd_base"], :] = -(1 << 20)
-        regs[_RI["grp_key"], :] = -1
-
-        B = b
-        wnd = jnp.zeros((B, nw // 128, 128), jnp.int32)
-        plit = jnp.full((B, 512, 128), 2048, jnp.int32)
-        pdlt = jnp.full((B, 512, 128), 2048, jnp.int32)
-        ms = np.array([[steps_cap]], np.int32)
-
-        if rc_d is None:
-            rc_d = _widen(jnp.asarray(rc_i), nrc // 128)
-            bc_d = _widen(jnp.asarray(bc_i), nbc // 128)
-        outs = _run(B, nw // 128, nrc // 128, nbc // 128, nb,
-                    bool(interpret),
-                    jnp.asarray(ms), jnp.asarray(re2), jnp.asarray(be2),
-                    jnp.asarray(regs), rc_d, bc_d,
-                    wnd, plit, pdlt)
-        wnd_o, _, _, regs_o, blklog, steps = outs
-        regs_np = np.asarray(regs_o)
-        blklog_np = np.asarray(blklog)
-
-        if (out_sizes is None
-                and int(regs_np[_RI["wnd_pos"]].max()) > wmax):
-            # decode without declared sizes outgrew the dict-sized window
-            # guess (dict < filesize stream, e.g. `csc d` of a reference
-            # file): flush positions clamp past capacity, so the bytes —
-            # and everything context-derived after them — are invalid.
-            # Regrow and re-decode (bounded by the reference's 1 GB dict
-            # cap, csc_typedef.h:12-13).
-            from ..golden.decoder import DecodeError as _DE
-            if wmax >= (1 << 30):
-                raise _DE("decoded output exceeds 1 GB window cap")
-            wmax = int(regs_np[_RI["wnd_pos"]].max()) * 2
-            continue
-        break
-
-    # pack window bytes 4-per-i32 on device before pulling them over the
-    # tunnel (device->host is the dominant cost otherwise)
-    lmax = _bucket(max(int(regs_np[_RI["wnd_pos"]].max()), 4), 1024)
-    lmax = min(lmax, nw)
-    wnd_np = np.asarray(_pack_bytes(wnd_o, lmax)).view(np.uint8)
-
-    out_pos = regs_np[_RI["wnd_pos"]]
-    done = regs_np[_RI["done"]]
-    err = regs_np[_RI["err"]]
-    blk_cnt = regs_np[_RI["blk_cnt"]]
+    # ---- group pipelining: split the batch into G sub-batches and
+    # dispatch them back-to-back.  The device runs the kernels FIFO;
+    # group k+1's host->device transfer and group k's packed output
+    # pull + host post-pass (bytes, inverse filters) overlap group
+    # k+1's kernel execution, hiding most of the ~20 MB/s tunnel cost.
+    # default 1: on the axon tunnel, dispatch is effectively synchronous
+    # and extra device calls cost ~24 ms each, so splitting loses; on a
+    # real PCIe TPU host set CSC_DECODE_GROUPS=2 to overlap.
+    import os as _os
+    G = int(_os.environ.get("CSC_DECODE_GROUPS", "1"))
+    if interpret or b < 32 or G < 2:
+        groups = [list(range(b))]
+    else:
+        half = (b + 1) // 2
+        groups = [list(range(0, half)), list(range(half, b))]
 
     from ..golden.decoder import DecodeError
     from .. import native
@@ -1613,35 +1591,111 @@ def decode_batch_pallas(props_list, blobs, positions=None, out_sizes=None,
     outputs = [None] * b
     fallback = []
     corrupt = []
-    for i in range(b):
-        if err[i] == ERR_UNSUPPORTED:
-            fallback.append(i)
-            continue
-        if blk_cnt[i] >= NBLK_LOG:
-            # block-log capacity exceeded: inverse filters could not be
-            # replayed faithfully — re-decode via the XLA scan
-            fallback.append(i)
-            continue
-        if err[i] == ERR_CORRUPT or not done[i]:
-            corrupt.append(i)
-            continue
-        raw = bytearray(wnd_np[i, :out_pos[i]].tobytes())
-        n = blk_cnt[i]
-        for k in range(min(n, NBLK_LOG)):
-            btype = blklog_np[i, 2 * k]
-            start = blklog_np[i, 2 * k + 1]
-            end = blklog_np[i, 2 * (k + 1) + 1] if k + 1 < n else out_pos[i]
-            if btype == SIG_EOF:
+    max_steps_seen = 0
+
+    while True:   # window regrow loop (rare: unknown-output streams)
+        nw = _bucket(wmax + 2 * TILE, 4096)
+        lmax = min(_bucket(max(wmax, 4), 1024), nw)
+
+        steps_cap = max_steps
+        if steps_cap is None:
+            steps_cap = int(8 * rc.shape[1] + bc.shape[1] + 64 + 2 * wmax)
+        ms = np.array([[steps_cap]], np.int32)
+
+        handles = []
+        for idx in groups:
+            gb = len(idx)
+            regs = np.zeros((NR, gb), np.int32)
+            regs[_RI["fsm"], :] = F_PRIME
+            regs[_RI["rc_base"], :] = -(1 << 20)
+            regs[_RI["bc_base"], :] = -(1 << 20)
+            regs[_RI["rd_base"], :] = -(1 << 20)
+            regs[_RI["grp_key"], :] = -1
+
+            wnd = jnp.zeros((gb, nw // 128, 128), jnp.int32)
+            plit = jnp.full((gb, 512, 128), 2048, jnp.int32)
+            pdlt = jnp.full((gb, 512, 128), 2048, jnp.int32)
+            rc_d = _widen(jnp.asarray(rc_i[idx]), nrc // 128)
+            bc_d = _widen(jnp.asarray(bc_i[idx]), nbc // 128)
+            _timing = _os.environ.get("CSC_DECODE_TIMING")
+            if _timing:
+                rc_d.block_until_ready()
+                bc_d.block_until_ready()
+                _t0 = __import__("time").time()
+            outs = _run(gb, nw // 128, nrc // 128, nbc // 128, nb,
+                        bool(interpret),
+                        jnp.asarray(ms), jnp.asarray(re2[idx]),
+                        jnp.asarray(be2[idx]), jnp.asarray(regs),
+                        rc_d, bc_d, wnd, plit, pdlt)
+            wnd_o, _, _, regs_o, blklog, steps = outs
+            if _timing:
+                regs_o.block_until_ready()
+                global LAST_KERNEL_SECONDS
+                LAST_KERNEL_SECONDS = __import__("time").time() - _t0
+            # dispatch the pack now so it runs before the NEXT group's
+            # kernel; lmax is window-capacity-based (static)
+            packed = _pack_bytes(wnd_o, lmax)
+            handles.append((idx, regs_o, blklog, packed, steps))
+
+        regrow = False
+        for idx, regs_o, blklog, packed, steps in handles:
+            regs_np = np.asarray(regs_o)
+            max_steps_seen = max(max_steps_seen,
+                                 int(np.asarray(steps)[0, 0]))
+            if (out_sizes is None
+                    and int(regs_np[_RI["wnd_pos"]].max()) > wmax):
+                # decode without declared sizes outgrew the dict-sized
+                # window guess (dict < filesize stream): flush positions
+                # clamp past capacity — regrow and re-decode everything
+                # (bounded by the 1 GB dict cap, csc_typedef.h:12-13)
+                if wmax >= (1 << 30):
+                    raise DecodeError(
+                        "decoded output exceeds 1 GB window cap")
+                wmax = int(regs_np[_RI["wnd_pos"]].max()) * 2
+                regrow = True
                 break
-            if btype == DT_EXE:
-                seg = bytearray(raw[start:end])
-                native.e89_inverse(seg)
-                raw[start:end] = seg
-            elif btype == DT_ENGTXT:
-                seg = bytearray(raw[start:end])
-                native.dict_inverse(seg)
-                raw[start:end] = seg
-        outputs[i] = bytes(raw)
+            blklog_np = np.asarray(blklog)
+            wnd_np = np.asarray(packed).view(np.uint8)
+
+            out_pos = regs_np[_RI["wnd_pos"]]
+            done = regs_np[_RI["done"]]
+            err = regs_np[_RI["err"]]
+            blk_cnt = regs_np[_RI["blk_cnt"]]
+            for j, i in enumerate(idx):
+                if err[j] == ERR_UNSUPPORTED:
+                    fallback.append(i)
+                    continue
+                if blk_cnt[j] >= NBLK_LOG:
+                    # block-log capacity exceeded: inverse filters could
+                    # not be replayed — re-decode via the XLA scan
+                    fallback.append(i)
+                    continue
+                if err[j] == ERR_CORRUPT or not done[j]:
+                    corrupt.append(i)
+                    continue
+                raw = bytearray(wnd_np[j, :out_pos[j]].tobytes())
+                n = blk_cnt[j]
+                for k in range(min(n, NBLK_LOG)):
+                    btype = blklog_np[j, 2 * k]
+                    start = blklog_np[j, 2 * k + 1]
+                    end = (blklog_np[j, 2 * (k + 1) + 1]
+                           if k + 1 < n else out_pos[j])
+                    if btype == SIG_EOF:
+                        break
+                    if btype == DT_EXE:
+                        seg = bytearray(raw[start:end])
+                        native.e89_inverse(seg)
+                        raw[start:end] = seg
+                    elif btype == DT_ENGTXT:
+                        seg = bytearray(raw[start:end])
+                        native.dict_inverse(seg)
+                        raw[start:end] = seg
+                outputs[i] = bytes(raw)
+        if not regrow:
+            break
+        outputs = [None] * b
+        fallback = []
+        corrupt = []
     if corrupt:
         raise DecodeError(f"corrupt stream(s) in batch: {corrupt}")
-    return outputs, fallback, int(np.asarray(steps)[0, 0])
+    return outputs, fallback, max_steps_seen

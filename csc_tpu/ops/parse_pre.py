@@ -128,6 +128,10 @@ def precompute_candidates(data_np, sizes, run_ends_np, hash_bits,
     Returns (cand [B, C, N] int32 with C = 2*(2+hash_width) as
     (dist, len) pairs ordered ht2, ht3, ht6_0..w-1; dist 0 = no
     candidate; len == cap means 'extend live'), plus blk_end [B, N]."""
+    import os as _os
+    import time as _time
+    _dbg = bool(_os.environ.get("CSC_ENC_DEBUG"))
+    _t0 = _time.time()
     B, N = data_np.shape
     R = run_ends_np.shape[1]
     pos = np.arange(N, dtype=np.int32)[None, :]
@@ -143,10 +147,20 @@ def precompute_candidates(data_np, sizes, run_ends_np, hash_bits,
     blk_off = run_start + ((pos - run_start) // 8192) * 8192
     blk_end = np.minimum(blk_off + 8192, run_end).astype(np.int32)
 
+    if _dbg:
+        print(f"[pre] blk_end numpy {_time.time() - _t0:.3f}s")
+        _t0 = _time.time()
     data_d = jnp.asarray(data_np)
     blk_end_d = jnp.asarray(blk_end)
+    if _dbg:
+        jax.block_until_ready(blk_end_d)
+        print(f"[pre] h2d {_time.time() - _t0:.3f}s")
+        _t0 = _time.time()
     cand = _precompute_dev(data_d, blk_end_d, int(hash_bits),
                            int(hash_width), int(cap))
+    if _dbg:
+        jax.block_until_ready(cand)
+        print(f"[pre] device {_time.time() - _t0:.3f}s")
     return cand, blk_end
 
 

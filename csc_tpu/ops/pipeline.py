@@ -311,6 +311,9 @@ def _encode_group(idxs, plans, props_list, datas, outs, _dbg, _t0, _fast):
         st, cfg = make_fast_state(bb, data_arr, sizes, dict_sizes, cand,
                                   run_ends, max_tokens, p0.hash_width,
                                   run_types=run_types)
+        if _dbg:
+            jax.block_until_ready(st["in4"])
+            print(f"[enc] fast state done {_time.time() - _t0:.2f}s")
         fparse_jit = fast_parse_fn(p0.hash_width, 1, p0.good_len)
         remaining = 8 * n + 4096
     else:
