@@ -1116,14 +1116,22 @@ def encode_bits_pallas(tok_kind, tok_a, tok_b, tok_c, max_rc, max_bc,
         kbits = int(os.environ.get("PEK_KBITS", "4"))
     B, T = tok_kind.shape
     # interleave (kind,a,b,c) into 4 consecutive lanes per token
-    inter = np.zeros((B, 4 * T), np.int32)
-    inter[:, 0::4] = tok_kind
-    inter[:, 1::4] = tok_a
-    inter[:, 2::4] = tok_b
-    inter[:, 3::4] = tok_c
     nts = _bucket(4 * T + TILE + 8)
-    tok = np.zeros((B, nts), np.int32)
-    tok[:, :4 * T] = inter
+    if isinstance(tok_kind, jax.Array):
+        # device tapes (stitch_dev): interleave + pad on device — the
+        # [B, 4T] tape never crosses the host<->device tunnel
+        inter = jnp.stack([tok_kind, tok_a, tok_b, tok_c],
+                          axis=2).reshape(B, 4 * T).astype(jnp.int32)
+        tok = jnp.zeros((B, nts), jnp.int32)
+        tok = tok.at[:, :4 * T].set(inter)
+    else:
+        inter = np.zeros((B, 4 * T), np.int32)
+        inter[:, 0::4] = tok_kind
+        inter[:, 1::4] = tok_a
+        inter[:, 2::4] = tok_b
+        inter[:, 3::4] = tok_c
+        tok = np.zeros((B, nts), np.int32)
+        tok[:, :4 * T] = inter
     nrs = _bucket(max_rc + 2 * TILE)
     nbs = _bucket(max_bc + 2 * TILE)
 

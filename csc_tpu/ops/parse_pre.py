@@ -90,18 +90,25 @@ def _prev_occ(h):
 @functools.partial(jax.jit, static_argnums=(3,))
 def _ext_lens(in4, qpos, blk_end, cap):
     """Match length between p and candidate qpos[p] (or -1), capped at
-    min(cap, blk_end[p]-p).  Data-parallel 4-byte sweeps."""
+    min(cap, blk_end[p]-p).  Data-parallel 4-byte sweeps.
+
+    An XLA element gather at this size costs ~135 ms on-chip
+    (tools/spike_gather2.py), so the sweep is restructured to ONE
+    gather per round: while a lane is active its length is exactly
+    4*round, so the p-side word in4[p + 4*round] is a STATIC shift of
+    in4, and only the q side needs a gather."""
     B, N = qpos.shape
     pos = jnp.arange(N, dtype=jnp.int32)[None, :]
     climit = jnp.minimum(blk_end - pos, cap)
     l = jnp.zeros((B, N), jnp.int32)
     active = qpos >= 0
+    rounds = (cap + 3) // 4
+    in4_pad = jnp.pad(in4, ((0, 0), (0, 4 * rounds)))
 
-    def body(carry):
-        l, active = carry
-        pi = jnp.clip(pos + l, 0, N - 1)
-        qi = jnp.clip(qpos + l, 0, N - 1)
-        w1 = jnp.take_along_axis(in4, pi, axis=1)
+    for it in range(rounds):
+        sh = 4 * it
+        w1 = in4_pad[:, sh:sh + N]
+        qi = jnp.clip(qpos + sh, 0, N - 1)
         w2 = jnp.take_along_axis(in4, qi, axis=1)
         x = w1 ^ w2
         eq = jnp.where(x == 0, 4,
@@ -112,56 +119,77 @@ def _ext_lens(in4, qpos, blk_end, cap):
         adv = jnp.minimum(eq, jnp.maximum(climit - l, 0))
         l = jnp.where(active, l + adv, l)
         active = active & (eq == 4) & (adv == 4) & (l < climit)
-        return l, active
-
-    def cond(carry):
-        return jnp.any(carry[1])
-
-    l, _ = jax.lax.while_loop(cond, body, (l, active))
     return l
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _blk_end_dev(run_ends, run_starts, N):
+    """blk_end [B, N] from the per-run cumulative end table ([B, R],
+    R small): each position's 8KB sub-block end, clamped to its run end
+    (csc_lz.cpp:63-67 sub-block structure).  Device-side — shipping the
+    precomputed [B, N] i32 table over the ~20 MB/s axon tunnel cost more
+    than every other precompute stage combined."""
+    pos = jnp.arange(N, dtype=jnp.int32)[None, :]
+    R = run_ends.shape[1]
+    run_idx = jnp.zeros((run_ends.shape[0], N), jnp.int32)
+    for r in range(R):
+        run_idx += (pos >= run_ends[:, r:r + 1]).astype(jnp.int32)
+    ridx = jnp.clip(run_idx, 0, R - 1)
+    run_start = jnp.take_along_axis(run_starts, ridx, axis=1)
+    run_end = jnp.take_along_axis(run_ends, ridx, axis=1)
+    blk_off = run_start + ((pos - run_start) // 8192) * 8192
+    return jnp.minimum(blk_off + 8192, run_end).astype(jnp.int32)
 
 
 def precompute_candidates(data_np, sizes, run_ends_np, hash_bits,
                           hash_width, cap=EXT_CAP):
-    """data_np: [B, N] u8; run_ends_np: [B, R] cumulative run ends.
+    """data_np: [B, N] u8 (host or device); run_ends_np: [B, R]
+    cumulative run ends.
 
     Returns (cand [B, C, N] int32 with C = 2*(2+hash_width) as
     (dist, len) pairs ordered ht2, ht3, ht6_0..w-1; dist 0 = no
-    candidate; len == cap means 'extend live'), plus blk_end [B, N]."""
+    candidate; len == cap means 'extend live'), plus the device copy of
+    data (reusable by make_fast_state — one tunnel upload, not two)."""
     import os as _os
     import time as _time
     _dbg = bool(_os.environ.get("CSC_ENC_DEBUG"))
     _t0 = _time.time()
     B, N = data_np.shape
-    R = run_ends_np.shape[1]
-    pos = np.arange(N, dtype=np.int32)[None, :]
-    run_idx = np.zeros((B, N), np.int32)
-    for r in range(R):
-        run_idx += (pos >= run_ends_np[:, r:r + 1]).astype(np.int32)
-    starts = np.concatenate([np.zeros((B, 1), np.int32),
-                             run_ends_np[:, :-1]], axis=1)
-    run_start = np.take_along_axis(
-        starts, np.clip(run_idx, 0, R - 1), axis=1)
-    run_end = np.take_along_axis(
-        run_ends_np, np.clip(run_idx, 0, R - 1), axis=1)
-    blk_off = run_start + ((pos - run_start) // 8192) * 8192
-    blk_end = np.minimum(blk_off + 8192, run_end).astype(np.int32)
-
-    if _dbg:
-        print(f"[pre] blk_end numpy {_time.time() - _t0:.3f}s")
-        _t0 = _time.time()
+    run_ends_np = np.asarray(run_ends_np, np.int32)
+    starts_np = np.concatenate([np.zeros((B, 1), np.int32),
+                                run_ends_np[:, :-1]], axis=1)
     data_d = jnp.asarray(data_np)
-    blk_end_d = jnp.asarray(blk_end)
+    blk_end_d = _blk_end_dev(jnp.asarray(run_ends_np),
+                             jnp.asarray(starts_np), N)
     if _dbg:
-        jax.block_until_ready(blk_end_d)
-        print(f"[pre] h2d {_time.time() - _t0:.3f}s")
+        jax.block_until_ready((data_d, blk_end_d))
+        print(f"[pre] h2d+blk_end {_time.time() - _t0:.3f}s")
         _t0 = _time.time()
+    if _dbg and _os.environ.get("CSC_PRE_DEBUG2"):
+        # decomposed stage timing on the real inputs
+        B = data_d.shape[0]
+        def _tt(tag, f, *a):
+            nonlocal _t0
+            r = f(*a)
+            jax.block_until_ready(r)
+            print(f"[pre2] {tag} {_time.time() - _t0:.3f}s")
+            _t0 = _time.time()
+            return r
+        in4, h2, h3, h6 = _tt("hashes", _hashes, data_d, blk_end_d,
+                              int(hash_bits), N)
+        hs = _tt("concat", jnp.concatenate, [h2, h3, h6], 0)
+        prev = _tt("prev_occ", _prev_occ, hs)
+        chains = [prev[:B], prev[B:2 * B], prev[2 * B:]]
+        qs = _tt("concat2", jnp.concatenate, chains, 0)
+        in4_t = jnp.tile(in4, (3, 1))
+        blk_t = jnp.tile(blk_end_d, (3, 1))
+        lns = _tt("ext_lens", _ext_lens, in4_t, qs, blk_t, int(cap))
     cand = _precompute_dev(data_d, blk_end_d, int(hash_bits),
                            int(hash_width), int(cap))
     if _dbg:
         jax.block_until_ready(cand)
         print(f"[pre] device {_time.time() - _t0:.3f}s")
-    return cand, blk_end
+    return cand, data_d
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))

@@ -277,7 +277,10 @@ def _encode_group(idxs, plans, props_list, datas, outs, _dbg, _t0, _fast):
     lz_inputs = [plans[i][0] for i in idxs]
     run_tables = [plans[i][1] for i in idxs]
     sizes = [len(x) for x in lz_inputs]
-    n = _bucket(max(sizes) + 16)
+    # 1.5-step ladder: every XLA op downstream (gathers above all) pays
+    # per padded element, and pow2 padding wastes up to 2x
+    from .pallas_decode import _bucket15
+    n = _bucket15(max(sizes) + 16)
     bb = len(idxs)
     data_arr = np.zeros((bb, n), np.uint8)
     for j, x in enumerate(lz_inputs):
@@ -303,12 +306,13 @@ def _encode_group(idxs, plans, props_list, datas, outs, _dbg, _t0, _fast):
         # parser (ratio-equivalent, not bit-identical; see parse_pre.py)
         from .parse_pre import precompute_candidates
         from .encode_scan_fast import make_fast_state, fast_parse_fn
-        cand, _ = precompute_candidates(data_arr, sizes, run_ends,
-                                        p0.hash_bits, p0.hash_width)
+        cand, data_dev = precompute_candidates(data_arr, sizes, run_ends,
+                                               p0.hash_bits, p0.hash_width)
         if _dbg:
+            print(f"[enc] precompute dispatched {_time.time() - _t0:.2f}s")
             cand.block_until_ready()
             print(f"[enc] precompute done {_time.time() - _t0:.2f}s")
-        st, cfg = make_fast_state(bb, data_arr, sizes, dict_sizes, cand,
+        st, cfg = make_fast_state(bb, data_dev, sizes, dict_sizes, cand,
                                   run_ends, max_tokens, p0.hash_width,
                                   run_types=run_types)
         if _dbg:
@@ -328,11 +332,48 @@ def _encode_group(idxs, plans, props_list, datas, outs, _dbg, _t0, _fast):
     SEG = 400_000
     while remaining > 0:
         final, seg = fparse_jit(final, jnp.int32(min(SEG, remaining)))
+        if _dbg:
+            print(f"[enc] parse seg dispatched {_time.time() - _t0:.2f}s")
         remaining -= int(seg)
         if bool(np.asarray(jnp.all(final["done"] == 1))):
             break
     if _dbg:
         print(f"[enc] parse done {_time.time() - _t0:.2f}s")
+
+    import os as _os
+    _impl = _os.environ.get("CSC_ENCODE_BITS", "auto")
+    _pb = _impl == "pallas" or (_impl == "auto"
+                                and jax.default_backend() != "cpu")
+    _has_dlt = any(r[0] >= DT_DLT for rt in run_tables for r in rt)
+    if _fast and p0.lz_mode == 2 and _pb and not _has_dlt:
+        # device-side stitch: the parse tape never crosses the tunnel
+        from .stitch_dev import stitch_device
+        if not np.asarray(final["done"]).all():
+            raise RuntimeError("encode parse scan hit step cap")
+        tkk, taa, tbb, tcc, tlen = stitch_device(final, data_dev,
+                                                 run_tables)
+        if _dbg:
+            jax.block_until_ready(tkk)
+            print(f"[enc] device stitch done {_time.time() - _t0:.2f}s")
+        max_rc = 2 * n + 4096
+        max_bc = n + 4096
+        from .pallas_encode import encode_bits_pallas
+        rcs, bcs, rcmap, bcmap, chunk_ends, errs = encode_bits_pallas(
+            tkk, taa, tbb, tcc, max_rc, max_bc, bsize=65536,
+            interpret=(jax.default_backend() == "cpu"))
+        if _dbg:
+            print(f"[enc] bits done {_time.time() - _t0:.2f}s")
+        for j, i in enumerate(idxs):
+            if errs[j]:
+                outs[i] = golden_encode(props_list[i], datas[i])
+                continue
+            outs[i] = encode_host.remux_stream(
+                65536, rcs[j], bcs[j], rcmap[j], bcmap[j], regs=None,
+                chunk_ends=chunk_ends[j])
+        if _dbg:
+            print(f"[enc] remux done {_time.time() - _t0:.2f}s")
+        return outs
+
     # pull only the used token prefix over the (slow) tunnel
     tc = np.asarray(final["tok_cnt"])
     _tl = _bucket(int(tc.max()) + 2, 256)

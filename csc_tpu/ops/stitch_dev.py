@@ -1,0 +1,230 @@
+"""Device-side tape stitching: parse tape -> phase-B token tape.
+
+The host stitcher (pipeline._encode_group) wraps each run's LZ segment
+with EncodeInt headers / sentinels / chunk-flush tokens and generates
+the CompressBad / CompressLiterals payload tokens
+(csc_encoder_main.cpp:128-145, csc_model.cpp:448-469).  Pulling the
+parse tape to the host and re-uploading the stitched tape moves
+~20 MB over the ~20 MB/s axon tunnel per 96-stream batch — more wall
+time than the parse itself.  This module performs the identical
+rewrite on-device with batched gathers:
+
+  out[o] = header token      (K_INT type [, K_INT size])
+         | parse-tape gather (LZ segment, via per-run segment offsets
+                              recovered from the K_SENT_A sentinels)
+         | K_SENT            (block-end sentinel, csc_lz.cpp:97)
+         | generated payload (K_RAW byte pairs / K_ELIT literals read
+                              straight from the LZ input bytes)
+         | tail tokens       (K_INT cont [, K_FLUSH])
+         | K_END             (fill)
+
+DT_DLT runs (CompressRLE) keep the host path: their payload is the
+delta-filtered copy with a host-precomputed run skeleton
+(encode_host.rle_tape); the caller routes streams containing one to the
+host stitcher.
+"""
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..constants import DT_ENGTXT, DT_NO_LZ, DT_BAD, DT_ENTROPY
+from .encode_scan import K_END, K_SENT_A
+from .encode_bits import K_INT, K_SENT, K_FLUSH, K_RAW, K_ELIT
+
+
+def plan_out_bound(run_tables, tl_in):
+    """Static upper bound of the stitched tape length (host-side).
+
+    LZ segments are bounded by the parse tape length; headers, tails,
+    sentinels and BAD/ENT payload sizes are known from the run table."""
+    worst = 0
+    for rt in run_tables:
+        extra = 1                      # K_END
+        for (t, rlen, _decl, last, _pl) in rt:
+            extra += 1 + (1 if (t == DT_ENGTXT or t >= DT_NO_LZ) else 0)
+            extra += 1 + (1 if last else 0)
+            if t == DT_BAD:
+                extra += (rlen + 1) // 2
+            elif t == DT_ENTROPY:
+                extra += rlen
+            elif t < DT_NO_LZ:
+                extra += 1             # K_SENT
+        worst = max(worst, tl_in + extra)
+    return worst
+
+
+@functools.partial(jax.jit, static_argnums=(8,))
+def _stitch_dev(tapes, data_dev, rtype, rdecl, rlen, rlast, rvalid, loff,
+                TL_out):
+    """tapes: (tk, ta, tb, tc) [B, TL_in] i32 parse tapes (device).
+    data_dev: [B, N] u8 LZ input.  r*: [B, R] i32 run tables.
+    Returns stitched (tkk, taa, tbb, tcc) [B, TL_out] i32."""
+    tk, ta, tb, tc = tapes
+    B, TL_in = tk.shape
+    R = rtype.shape[1]
+    N = data_dev.shape[1]
+
+    # --- per-run LZ segment bounds from the K_SENT_A sentinels --------
+    iota_t = jnp.arange(TL_in, dtype=jnp.int32)[None, :]
+    m = (tk == K_SENT_A) & (rvalid.sum(axis=1)[:, None] > 0)
+    cum = jnp.cumsum(m.astype(jnp.int32), axis=1)
+    sp = []
+    for r in range(R):
+        sp.append(jnp.sum(jnp.where(m & (cum == r + 1), iota_t, 0),
+                          axis=1))
+    sp = jnp.stack(sp, axis=1)                       # [B, R]
+    seg_start = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), sp[:, :-1] + 1], axis=1)
+    seg_len = sp - seg_start
+
+    # --- per-run output lengths ---------------------------------------
+    is_lz = rtype < DT_NO_LZ
+    has_size = (rtype == DT_ENGTXT) | (rtype >= DT_NO_LZ)
+    hlen = jnp.where(rvalid > 0, 1 + has_size.astype(jnp.int32), 0)
+    plen_nolz = jnp.where(rtype == DT_BAD, (rlen + 1) // 2, rlen)
+    plen = jnp.where(is_lz, seg_len + 1, plen_nolz)
+    plen = jnp.where(rvalid > 0, plen, 0)
+    tlen = jnp.where(rvalid > 0, 1 + rlast, 0)
+    rl_total = hlen + plen + tlen
+    out_end = jnp.cumsum(rl_total, axis=1)           # [B, R] inclusive
+    out_start = out_end - rl_total
+    total = out_end[:, -1:]                          # [B, 1]
+
+    # --- output index -> (run, offset) --------------------------------
+    o = jnp.arange(TL_out, dtype=jnp.int32)[None, :]  # [1, TL_out]
+    ridx = jnp.zeros((B, TL_out), jnp.int32)
+    for r in range(R - 1):
+        ridx += (o >= out_end[:, r:r + 1]).astype(jnp.int32)
+    ridx = jnp.clip(ridx, 0, R - 1)
+
+    def g(tbl):
+        return jnp.take_along_axis(tbl, ridx, axis=1)
+
+    start_g = g(out_start)
+    hlen_g = g(hlen)
+    plen_g = g(plen)
+    type_g = g(rtype)
+    decl_g = g(rdecl)
+    rlen_g = g(rlen)
+    last_g = g(rlast)
+    loff_g = g(loff)
+    segs_g = g(seg_start)
+    segl_g = g(seg_len)
+
+    off = o - start_g
+    p = off - hlen_g
+    t_off = p - plen_g
+
+    is_hdr = off < hlen_g
+    is_pay = ~is_hdr & (p < plen_g)
+    is_lz_g = type_g < DT_NO_LZ
+    is_bad_g = type_g == DT_BAD
+
+    # LZ segment gather (tape positions; clamped when inactive)
+    in_idx = jnp.clip(segs_g + jnp.maximum(p, 0), 0, TL_in - 1)
+    lz_k = jnp.take_along_axis(tk, in_idx, axis=1)
+    lz_a = jnp.take_along_axis(ta, in_idx, axis=1)
+    lz_b = jnp.take_along_axis(tb, in_idx, axis=1)
+    lz_c = jnp.take_along_axis(tc, in_idx, axis=1)
+
+    # BAD/ENT payload byte gathers
+    pc = jnp.maximum(p, 0)
+    bi0 = jnp.clip(loff_g + jnp.where(is_bad_g, 2 * pc, pc), 0, N - 1)
+    d0 = jnp.take_along_axis(data_dev, bi0, axis=1).astype(jnp.int32)
+    d1 = jnp.take_along_axis(data_dev, jnp.clip(bi0 + 1, 0, N - 1),
+                             axis=1).astype(jnp.int32)
+    pair_full = (2 * pc + 1) < rlen_g
+
+    # --- assemble ------------------------------------------------------
+    kk = jnp.full((B, TL_out), K_END, jnp.int32)
+    aa = jnp.zeros((B, TL_out), jnp.int32)
+    bb = jnp.zeros((B, TL_out), jnp.int32)
+    cc = jnp.zeros((B, TL_out), jnp.int32)
+
+    # tail: K_INT(cont) then K_FLUSH
+    is_tail0 = ~is_hdr & ~is_pay & (t_off == 0)
+    is_tail1 = ~is_hdr & ~is_pay & (t_off == 1) & (last_g > 0)
+    kk = jnp.where(is_tail0, K_INT, kk)
+    aa = jnp.where(is_tail0, last_g, aa)
+    kk = jnp.where(is_tail1, K_FLUSH, kk)
+    aa = jnp.where(is_tail1, 0, aa)
+
+    # payload
+    in_seg = is_pay & is_lz_g & (p < segl_g)
+    kk = jnp.where(in_seg, lz_k, kk)
+    aa = jnp.where(in_seg, lz_a, aa)
+    bb = jnp.where(in_seg, lz_b, bb)
+    cc = jnp.where(in_seg, lz_c, cc)
+    at_sent = is_pay & is_lz_g & (p == segl_g)
+    kk = jnp.where(at_sent, K_SENT, kk)
+    aa = jnp.where(at_sent, 64, aa)
+    bb = jnp.where(at_sent, 0, bb)
+    is_badp = is_pay & is_bad_g
+    kk = jnp.where(is_badp, K_RAW, kk)
+    aa = jnp.where(is_badp,
+                   jnp.where(pair_full, (d0 << 8) | d1, d0), aa)
+    bb = jnp.where(is_badp, jnp.where(pair_full, 16, 8), bb)
+    is_entp = is_pay & ~is_lz_g & ~is_bad_g
+    kk = jnp.where(is_entp, K_ELIT, kk)
+    aa = jnp.where(is_entp, d0, aa)
+    bb = jnp.where(is_entp, 0, bb)
+
+    # header (written last: precedence irrelevant, masks are disjoint)
+    is_h0 = is_hdr & (off == 0)
+    is_h1 = is_hdr & (off == 1)
+    kk = jnp.where(is_h0 | is_h1, K_INT, kk)
+    aa = jnp.where(is_h0, type_g, aa)
+    aa = jnp.where(is_h1, decl_g, aa)
+    bb = jnp.where(is_hdr, 0, bb)
+    cc = jnp.where(is_hdr | at_sent | is_badp | is_entp
+                   | is_tail0 | is_tail1, 0, cc)
+
+    # beyond total: K_END fill
+    past = o >= total
+    kk = jnp.where(past, K_END, kk)
+    aa = jnp.where(past, 0, aa)
+    bb = jnp.where(past, 0, bb)
+    cc = jnp.where(past, 0, cc)
+    return kk, aa, bb, cc
+
+
+def stitch_device(final_state, data_dev, run_tables, tl_out=None):
+    """Stitch the fast-parse output state into phase-B tapes on device.
+
+    final_state: the parse loop's final state dict (tapes stay on
+    device).  run_tables: list of per-stream run tables from
+    encode_host.plan_stream.  Returns (tkk, taa, tbb, tcc) device
+    arrays [B, TL_out] plus TL_out.  Caller must route streams with
+    DT_DLT runs to the host stitcher instead."""
+    from .pipeline import _bucket
+
+    tk = final_state["tok_kind"]
+    B, TL_in = tk.shape
+    R = max(len(rt) for rt in run_tables)
+    rtype = np.zeros((B, R), np.int32)
+    rdecl = np.zeros((B, R), np.int32)
+    rlen = np.zeros((B, R), np.int32)
+    rlast = np.zeros((B, R), np.int32)
+    rvalid = np.zeros((B, R), np.int32)
+    loff = np.zeros((B, R), np.int32)
+    for j, rt in enumerate(run_tables):
+        acc = 0
+        for k, (t, ln, decl, last, _pl) in enumerate(rt):
+            rtype[j, k] = t
+            rdecl[j, k] = decl
+            rlen[j, k] = ln
+            rlast[j, k] = 1 if last else 0
+            rvalid[j, k] = 1
+            loff[j, k] = acc
+            acc += ln
+    if tl_out is None:
+        tl_out = _bucket(plan_out_bound(run_tables, TL_in), 1024)
+    tapes = (tk, final_state["tok_a"], final_state["tok_b"],
+             final_state["tok_c"])
+    kk, aa, bb, cc = _stitch_dev(
+        tapes, data_dev, jnp.asarray(rtype), jnp.asarray(rdecl),
+        jnp.asarray(rlen), jnp.asarray(rlast), jnp.asarray(rvalid),
+        jnp.asarray(loff), int(tl_out))
+    return kk, aa, bb, cc, int(tl_out)
