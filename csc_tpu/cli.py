@@ -50,7 +50,44 @@ def main(argv=None):
     ap.add_argument("--fexe0", action="store_true", help="disable EXE filter")
     ap.add_argument("--ftxt0", action="store_true", help="disable TXT filter")
     ap.add_argument("--backend", choices=["golden", "tpu"], default="golden")
+    ap.add_argument("--stream", action="store_true",
+                    help="bounded-memory streaming mode (golden backend; "
+                         "peak RSS ~ dict + buffers, independent of file "
+                         "size — the ISeqInStream loop of "
+                         "csc_enc.cpp:160-191)")
     args = ap.parse_args(argv)
+
+    if args.stream:
+        from . import stream as _stream
+        t0 = time.time()
+        if args.mode == "c":
+            fsize = os.path.getsize(args.input)
+            dict_size = min(args.dict_size, max(fsize, 1))
+            props = props_init(dict_size, args.level)
+            if args.fdelta0:
+                props.DLTFilter = 0
+            if args.fexe0:
+                props.EXEFilter = 0
+            if args.ftxt0:
+                props.TXTFilter = 0
+            print("Estimated memory usage: %d MB"
+                  % (est_mem_usage(props) // 1048576), file=sys.stderr)
+            with open(args.input, "rb") as fi, \
+                    open(args.output, "wb") as fo:
+                n = _stream.compress_file(fi, fo, props)
+            csize = os.path.getsize(args.output)
+            dt = time.time() - t0
+            print("%d -> %d (%.2f MB/s)" % (n, csize,
+                                            n / 1e6 / max(dt, 1e-9)))
+        else:
+            with open(args.input, "rb") as fi, \
+                    open(args.output, "wb") as fo:
+                n = _stream.decompress_file(fi, fo)
+            dt = time.time() - t0
+            print("%d -> %d (%.2f MB/s)"
+                  % (os.path.getsize(args.input), n,
+                     n / 1e6 / max(dt, 1e-9)))
+        return 0
 
     with open(args.input, "rb") as f:
         data = f.read()

@@ -27,7 +27,12 @@ import jax
 import jax.numpy as jnp
 
 MASK32 = 0xFFFFFFFF
-EXT_CAP = 32        # bulk extension cap; longer matches extend live
+# Bulk extension cap; longer matches extend live.  16 keeps the packed
+# (dist<<5|len) candidate encoding of the Pallas parse kernel in 5 bits
+# and halves the q-side gathers in _ext_lens (each ~135 ms at [288,32K],
+# tools/spike_gather2.py).  Both parse paths share this value, so token
+# output is unaffected (live extension continues where the cap stops).
+EXT_CAP = 16
 
 
 def _u32(x):
@@ -190,6 +195,29 @@ def precompute_candidates(data_np, sizes, run_ends_np, hash_bits,
         jax.block_until_ready(cand)
         print(f"[pre] device {_time.time() - _t0:.3f}s")
     return cand, data_d
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def mk_in4_dev(data, n_lanes):
+    """[B, N] u8 -> [B, n_lanes/128, 128] i32 of 4-byte LE words at each
+    position (the match-compare unit), zero-padded."""
+    d = data.astype(jnp.uint32)
+    B, N = data.shape
+    dd = jnp.concatenate([d, jnp.zeros((B, 8), jnp.uint32)], axis=1)
+    in4 = (dd[:, :N] | (dd[:, 1:N + 1] << 8) | (dd[:, 2:N + 2] << 16)
+           | (dd[:, 3:N + 3] << 24)).astype(jnp.int32)
+    return jnp.pad(in4, ((0, 0), (0, n_lanes - N))).reshape(
+        B, n_lanes // 128, 128)
+
+
+@jax.jit
+def pack_candidates(cand):
+    """[B, 2C, N] (dist,len) row pairs -> [B, C, N] dist<<5 | len for
+    the Pallas parse kernel (len <= EXT_CAP fits 5 bits; dist 0 = no
+    candidate encodes as 0)."""
+    d = cand[:, 0::2, :]
+    ln = cand[:, 1::2, :]
+    return jnp.where(d > 0, (d << 5) | jnp.clip(ln, 0, 31), 0)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))

@@ -205,8 +205,8 @@ def encode_batch(props_list, datas):
     _dbg = bool(_os.environ.get("CSC_ENC_DEBUG"))
     _t0 = _time.time()
     _pmode = _os.environ.get("CSC_ENCODE_PARSE", "auto")
-    _fast = _pmode == "fast" or (_pmode == "auto"
-                                 and jax.default_backend() != "cpu")
+    _fast = _pmode in ("fast", "pallas") or (
+        _pmode == "auto" and jax.default_backend() != "cpu")
     b = len(datas)
     plans = []
     for props, data in zip(props_list, datas):
@@ -301,6 +301,67 @@ def _encode_group(idxs, plans, props_list, datas, outs, _dbg, _t0, _fast):
     max_tokens = n + 2 * maxrun + 8
     if _dbg:
         print(f"[enc] plans done {_time.time() - _t0:.2f}s")
+    import os as _os
+    _impl = _os.environ.get("CSC_ENCODE_BITS", "auto")
+    _pb = _impl == "pallas" or (_impl == "auto"
+                                and jax.default_backend() != "cpu")
+    _has_dlt = any(r[0] >= DT_DLT for rt in run_tables for r in rt)
+    _pk = _os.environ.get("CSC_ENCODE_PARSE", "auto") == "pallas" or (
+        _fast and _os.environ.get("CSC_ENCODE_PARSE", "auto") == "auto")
+
+    if _fast and p0.lz_mode == 2 and _pk and _pb and not _has_dlt:
+        # Pallas parse kernel + device stitch + Pallas phase B: the
+        # tapes never cross the host<->device tunnel
+        from .parse_pre import precompute_candidates, pack_candidates
+        from .pallas_parse import parse_batch_pallas
+        from .stitch_dev import stitch_device_tapes
+        cand, data_dev = precompute_candidates(data_arr, sizes, run_ends,
+                                               p0.hash_bits,
+                                               p0.hash_width)
+        if _dbg:
+            cand.block_until_ready()
+            print(f"[enc] precompute done {_time.time() - _t0:.2f}s")
+        candp = pack_candidates(cand)
+        w0, w1, _tc, _steps = parse_batch_pallas(
+            data_dev, candp, sizes, dict_sizes, run_ends, run_types,
+            p0.good_len, p0.hash_width,
+            interpret=(jax.default_backend() == "cpu"))
+        # slice the tape to the used prefix: every stitch gather pays
+        # per padded element (~90 ms per [96,64K] take_along_axis)
+        _used = _bucket(int(_tc.max()) + 2, 256)
+        _used = min(_used, w0.shape[1])
+        w0 = w0[:, :_used]
+        w1 = w1[:, :_used]
+        tz = jnp.zeros_like(w0)
+        if _dbg:
+            jax.block_until_ready(w0)
+            print(f"[enc] pallas parse done {_time.time() - _t0:.2f}s"
+                  f" ({_steps} steps, tape {_used})")
+        tkk, taa, tbb, tcc, tlen = stitch_device_tapes(
+            (w0 & 7, w1, w0 >> 3, tz), data_dev, run_tables,
+            fill_from_data=True)
+        if _dbg:
+            jax.block_until_ready(tkk)
+            print(f"[enc] device stitch done {_time.time() - _t0:.2f}s")
+        max_rc = 2 * n + 4096
+        max_bc = n + 4096
+        from .pallas_encode import encode_bits_pallas
+        rcs, bcs, rcmap, bcmap, chunk_ends, errs = encode_bits_pallas(
+            tkk, taa, tbb, tcc, max_rc, max_bc, bsize=65536,
+            interpret=(jax.default_backend() == "cpu"))
+        if _dbg:
+            print(f"[enc] bits done {_time.time() - _t0:.2f}s")
+        for j, i in enumerate(idxs):
+            if errs[j]:
+                outs[i] = golden_encode(props_list[i], datas[i])
+                continue
+            outs[i] = encode_host.remux_stream(
+                65536, rcs[j], bcs[j], rcmap[j], bcmap[j], regs=None,
+                chunk_ends=chunk_ends[j])
+        if _dbg:
+            print(f"[enc] remux done {_time.time() - _t0:.2f}s")
+        return outs
+
     if _fast and p0.lz_mode == 2:
         # TPU-native parse: precomputed hash-chain candidates + fold
         # parser (ratio-equivalent, not bit-identical; see parse_pre.py)

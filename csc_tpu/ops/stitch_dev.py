@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import DT_ENGTXT, DT_NO_LZ, DT_BAD, DT_ENTROPY
-from .encode_scan import K_END, K_SENT_A
+from .encode_scan import (K_END, K_SENT_A, K_LIT, K_MATCH, K_REP,
+                          K_REP0L1)
 from .encode_bits import K_INT, K_SENT, K_FLUSH, K_RAW, K_ELIT
 
 
@@ -55,9 +56,9 @@ def plan_out_bound(run_tables, tl_in):
     return worst
 
 
-@functools.partial(jax.jit, static_argnums=(8,))
+@functools.partial(jax.jit, static_argnums=(8, 9))
 def _stitch_dev(tapes, data_dev, rtype, rdecl, rlen, rlast, rvalid, loff,
-                TL_out):
+                TL_out, fill_from_data=False):
     """tapes: (tk, ta, tb, tc) [B, TL_in] i32 parse tapes (device).
     data_dev: [B, N] u8 LZ input.  r*: [B, R] i32 run tables.
     Returns stitched (tkk, taa, tbb, tcc) [B, TL_out] i32."""
@@ -187,20 +188,57 @@ def _stitch_dev(tapes, data_dev, rtype, rdecl, rlen, rlast, rvalid, loff,
     aa = jnp.where(past, 0, aa)
     bb = jnp.where(past, 0, bb)
     cc = jnp.where(past, 0, cc)
+
+    if fill_from_data:
+        # The Pallas parse kernel emits (kind, dist_code, wire_len) only;
+        # literal bytes (tok_a of K_LIT) and last-match bytes (tok_c)
+        # are reconstructed here: each LZ token's byte position is the
+        # run's LZ-input offset plus the cumulative consumed length of
+        # LZ tokens within the run (skip runs contribute no LZ tokens,
+        # so a per-run correction re-bases the cumulative sum).
+        is_lzk = ((kk == K_LIT) | (kk == K_REP0L1) | (kk == K_MATCH)
+                  | (kk == K_REP)) & in_seg
+        consumed = jnp.where((kk == K_MATCH) | (kk == K_REP), bb + 2,
+                             jnp.where(is_lzk, 1, 0))
+        consumed = jnp.where(is_lzk, consumed, 0)
+        cex = jnp.cumsum(consumed, axis=1) - consumed
+        lz_rlen = jnp.where((rtype < DT_NO_LZ) & (rvalid > 0), rlen, 0)
+        lzcum = jnp.cumsum(lz_rlen, axis=1) - lz_rlen     # [B, R]
+        lzcum_g = g(lzcum)
+        posn = jnp.clip(loff_g + cex - lzcum_g, 0, N - 1)
+        dlit = jnp.take_along_axis(data_dev, posn,
+                                   axis=1).astype(jnp.int32)
+        dlast = jnp.take_along_axis(
+            data_dev,
+            jnp.clip(posn + jnp.maximum(consumed - 1, 0), 0, N - 1),
+            axis=1).astype(jnp.int32)
+        aa = jnp.where(is_lzk & (kk == K_LIT), dlit, aa)
+        cc = jnp.where(is_lzk, dlast, cc)
     return kk, aa, bb, cc
 
 
 def stitch_device(final_state, data_dev, run_tables, tl_out=None):
-    """Stitch the fast-parse output state into phase-B tapes on device.
+    """Stitch the fast-parse output state into phase-B tapes on device
+    (XLA fast-parse flavor: tapes carry a and c)."""
+    return stitch_device_tapes(
+        (final_state["tok_kind"], final_state["tok_a"],
+         final_state["tok_b"], final_state["tok_c"]),
+        data_dev, run_tables, tl_out=tl_out)
 
-    final_state: the parse loop's final state dict (tapes stay on
-    device).  run_tables: list of per-stream run tables from
-    encode_host.plan_stream.  Returns (tkk, taa, tbb, tcc) device
-    arrays [B, TL_out] plus TL_out.  Caller must route streams with
-    DT_DLT runs to the host stitcher instead."""
+
+def stitch_device_tapes(tapes, data_dev, run_tables, tl_out=None,
+                        fill_from_data=False):
+    """Stitch parse tapes into phase-B tapes on device.
+
+    tapes: (tk, ta, tb, tc) device arrays [B, TL_in].  run_tables: list
+    of per-stream run tables from encode_host.plan_stream.  Returns
+    (tkk, taa, tbb, tcc) device arrays [B, TL_out] plus TL_out.
+    fill_from_data: reconstruct literal bytes / last-match bytes from
+    data (the Pallas parse kernel emits neither).  Caller must route
+    streams with DT_DLT runs to the host stitcher instead."""
     from .pipeline import _bucket
 
-    tk = final_state["tok_kind"]
+    tk = tapes[0]
     B, TL_in = tk.shape
     R = max(len(rt) for rt in run_tables)
     rtype = np.zeros((B, R), np.int32)
@@ -221,10 +259,8 @@ def stitch_device(final_state, data_dev, run_tables, tl_out=None):
             acc += ln
     if tl_out is None:
         tl_out = _bucket(plan_out_bound(run_tables, TL_in), 1024)
-    tapes = (tk, final_state["tok_a"], final_state["tok_b"],
-             final_state["tok_c"])
     kk, aa, bb, cc = _stitch_dev(
         tapes, data_dev, jnp.asarray(rtype), jnp.asarray(rdecl),
         jnp.asarray(rlen), jnp.asarray(rlast), jnp.asarray(rvalid),
-        jnp.asarray(loff), int(tl_out))
+        jnp.asarray(loff), int(tl_out), bool(fill_from_data))
     return kk, aa, bb, cc, int(tl_out)
