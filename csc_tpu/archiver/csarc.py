@@ -189,14 +189,61 @@ def _read_task(args):
 
 
 def _compress_task(args):
-    """Worker: read the task's solid stream, compress, return stream +
-    per-file posblock/checksum (CompressionWorker::do_work,
-    csa_worker.cpp:23-56)."""
+    """Worker: stream the task's files through the bounded-memory
+    encoder with a dedicated reader thread (CompressionWorker::do_work
+    + AsyncFileReader, csa_worker.cpp:23-56, csa_io.h:207-287): reads
+    overlap compression through a bounded queue (2 MB read granularity,
+    32 MB cap — csa_io.h:246, csa_worker.cpp:27), and peak memory is
+    ~2-4x dict instead of the whole task."""
+    import queue as _queue
+    import threading
+    from .. import stream as _stream
+
     filelist, level, dict_size = args
-    solid, results = _read_task((filelist,))
-    props = props_init(min(dict_size, max(len(solid), 1)), level)
-    stream = write_properties(props) + encode_stream(props, solid)
-    return stream, results, props.csc_blocksize
+    total = sum(fb.size for fb in filelist)
+    props = props_init(min(dict_size, max(total, 1)), level)
+
+    chunks = _queue.Queue(maxsize=16)          # 16 x 2 MB = 32 MB cap
+    results = []
+
+    def reader():
+        for fb in filelist:
+            try:
+                with open(fb.filename, "rb") as f:
+                    f.seek(fb.off)
+                    csum = 0
+                    got = 0
+                    while got < fb.size:
+                        data = f.read(min(2 * MB, fb.size - got))
+                        if not data:
+                            break
+                        csum = adler32(data, csum)
+                        got += len(data)
+                        chunks.put(data)
+            except OSError:
+                got, csum = 0, 0
+            results.append((got, None, csum))
+        chunks.put(None)
+
+    th = threading.Thread(target=reader, daemon=True)
+    th.start()
+    import io as _io
+    out = _io.BytesIO()
+    enc = _stream.StreamEncoder(props, out)
+    while True:
+        data = chunks.get()
+        if data is None:
+            break
+        enc.write(data)
+    enc.finish()
+    th.join()
+    # posblock = cumulative offset in the solid stream (csa_io.h:240)
+    cum = 0
+    fixed = []
+    for size, _pb, csum in results:
+        fixed.append((size, cum, csum))
+        cum += size
+    return out.getvalue(), fixed, props.csc_blocksize
 
 
 def _decompress_task(args):
@@ -206,6 +253,74 @@ def _decompress_task(args):
     props = read_properties(stream[:10])
     raw = decompress_stream(props, stream, 10)
     return _route_output(raw, filelist)
+
+
+class _ArchiveBlockReader:
+    """File-like over a task's scattered archive block list
+    (AsyncArchiveReader, csa_io.h:472-539): sequential reads across the
+    (off, size) ranges, ~1 MB per syscall."""
+
+    def __init__(self, fh, blocks):
+        self.fh = fh
+        self.blocks = blocks
+        self.bi = 0
+        self.boff = 0
+
+    def read(self, n):
+        out = bytearray()
+        while n > 0 and self.bi < len(self.blocks):
+            off, size = self.blocks[self.bi]
+            take = min(n, size - self.boff)
+            self.fh.seek(off + self.boff)
+            out += self.fh.read(take)
+            self.boff += take
+            n -= take
+            if self.boff >= size:
+                self.bi += 1
+                self.boff = 0
+        return bytes(out)
+
+
+def _decompress_task_streaming(args):
+    """Worker: bounded-memory extract — pull coded blocks from the
+    archive on demand, decode one raw block at a time, and route bytes
+    to file ranges incrementally with rolling Adler32 per fragment
+    (AsyncArchiveReader -> CSCDec -> AsyncFileWriter,
+    csa_worker.cpp:59-90; verify at csa_io.h:342-349,402-404)."""
+    from .. import stream as _stream
+
+    arcname, blocks, filelist = args
+    filelist = sorted(filelist, key=lambda fb: fb.posblock)
+    failures = []
+    fi = 0
+    csums = {}
+    with open(arcname, "rb") as arc:
+        rd = _ArchiveBlockReader(arc, blocks)
+        props = read_properties(rd.read(10))
+        dec = _stream.StreamDecoder(rd, props)
+        pos = 0
+        for raw in dec.blocks():
+            end = pos + len(raw)
+            # route the decoded range to every overlapping fragment
+            for fb in filelist:
+                lo = max(pos, fb.posblock)
+                hi = min(end, fb.posblock + fb.size)
+                if lo >= hi:
+                    continue
+                seg = raw[lo - pos:hi - pos]
+                key = id(fb)
+                # rolling adler only valid for in-order arrival; ranges
+                # are written in solid-stream order, so it always is
+                csums[key] = adler32(seg, csums.get(key, 0))
+                if fb.filename != "<dummy>":
+                    with open(fb.filename, "r+b") as f:
+                        f.seek(fb.off + (lo - fb.posblock))
+                        f.write(seg)
+            pos = end
+    for fb in filelist:
+        if csums.get(id(fb), 0) != fb.checksum:
+            failures.append(fb.entry_name or fb.filename)
+    return failures
 
 
 def _route_output(raw, filelist):
@@ -546,9 +661,6 @@ class CSArc:
         tasks.sort(key=lambda t: -t.total_size)
         for t in tasks:
             t.filelist.sort(key=lambda fb: fb.posblock)
-        with open(self.arcname, "rb") as f:
-            streams = [self._read_task_stream(f, self.abindex[t.ab_id])
-                       for t in tasks]
 
         failures = []
         import os as _os
@@ -556,6 +668,9 @@ class CSArc:
         use_tpu = (self.backend == "tpu" and tasks
                    and max(t.total_size for t in tasks) <= max_tpu)
         if use_tpu:
+            with open(self.arcname, "rb") as f:
+                streams = [self._read_task_stream(f, self.abindex[t.ab_id])
+                           for t in tasks]
             try:
                 from ..ops.pipeline import decode_batch
                 props_list = [read_properties(s[:10]) for s in streams]
@@ -569,15 +684,18 @@ class CSArc:
                 for t, raw in zip(tasks, outs):
                     failures += _route_output(raw, t.filelist)
         if not use_tpu:
+            # bounded-memory workers: coded blocks are pulled from the
+            # archive on demand, output routed per raw block
+            args = [(self.arcname, self.abindex[t.ab_id].blocks,
+                     t.filelist) for t in tasks]
             try:
                 if self.mt_count <= 1 or len(tasks) <= 1:
-                    for t, s in zip(tasks, streams):
-                        failures += _decompress_task((s, t.filelist))
+                    for a in args:
+                        failures += _decompress_task_streaming(a)
                 else:
                     with ProcessPoolExecutor(max_workers=self.mt_count) as pool:
-                        for ret in pool.map(_decompress_task,
-                                            [(s, t.filelist)
-                                             for t, s in zip(tasks, streams)]):
+                        for ret in pool.map(_decompress_task_streaming,
+                                            args):
                             failures += ret
             except (IndexError, ValueError, IOError, struct.error) as e:
                 sys.stderr.write("decode error: %s\n" % e)

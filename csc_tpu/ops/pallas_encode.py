@@ -1148,6 +1148,9 @@ def encode_bits_pallas(tok_kind, tok_a, tok_b, tok_c, max_rc, max_bc,
     plit = jnp.full((B, 1024, 128), 2048, jnp.int32)
     rc0 = jnp.zeros((B, nrs // 128, 128), jnp.int32)
     bc0 = jnp.zeros((B, nbs // 128, 128), jnp.int32)
+    import time as _time
+    _dbg = bool(os.environ.get("CSC_ENC_DEBUG"))
+    _t0 = _time.time()
     outs = _run(B, nts // 128, nrs // 128, nbs // 128, int(kbits),
                 bool(interpret),
                 jnp.asarray(np.array([[max_steps]], np.int32)),
@@ -1157,6 +1160,10 @@ def encode_bits_pallas(tok_kind, tok_a, tok_b, tok_c, max_rc, max_bc,
                 plit, rc0, bc0)
     _, rc_o, bc_o, regs_o, rcmap, bcmap, clog, steps = outs
     regs_np = np.asarray(regs_o)
+    if _dbg:
+        print(f"[bits] kernel+regs {_time.time() - _t0:.2f}s "
+              f"({int(np.asarray(steps)[0, 0])} steps)")
+        _t0 = _time.time()
     rc_cnt = regs_np[_RI["rc_cnt"]]
     bc_cnt = regs_np[_RI["bc_cnt"]]
     done = regs_np[_RI["done"]]
@@ -1173,6 +1180,8 @@ def encode_bits_pallas(tok_kind, tok_a, tok_b, tok_c, max_rc, max_bc,
     bcmap_np = np.asarray(bcmap)
     clog_np = np.asarray(clog)
 
+    if _dbg:
+        print(f"[bits] pulls {_time.time() - _t0:.2f}s")
     rcs = [bytes(rc_np[i, :rc_cnt[i]]) for i in range(B)]
     bcs = [bytes(bc_np[i, :bc_cnt[i]]) for i in range(B)]
     chunk_ends = [[(int(clog_np[i, 2 * k]), int(clog_np[i, 2 * k + 1]))
