@@ -54,7 +54,7 @@ S_FIND = 1
 S_EXT = 2
 S_DONE = 3
 
-EXT_CAP = 16        # precomputed candidate length cap (parse_pre pack)
+from .parse_pre import EXT_CAP  # precomputed candidate length cap
 R_INL = 2           # inline 4-byte extension rounds in a FIND step
 R_EXT = 4           # rounds per EXT step (16 bytes/lane/step)
 NEAR = 1024         # distances <= NEAR always resident in pw

@@ -27,12 +27,14 @@ import jax
 import jax.numpy as jnp
 
 MASK32 = 0xFFFFFFFF
-# Bulk extension cap; longer matches extend live.  16 keeps the packed
-# (dist<<5|len) candidate encoding of the Pallas parse kernel in 5 bits
-# and halves the q-side gathers in _ext_lens (each ~135 ms at [288,32K],
-# tools/spike_gather2.py).  Both parse paths share this value, so token
-# output is unaffected (live extension continues where the cap stops).
-EXT_CAP = 16
+# Bulk extension cap; longer matches extend live.  Each extension round
+# costs one ~135 ms q-side gather at [288,32K] (tools/spike_gather2.py),
+# so the cap trades precompute gathers against in-kernel extension
+# rounds; 8 (two gathers) measured best end-to-end.  Both parse paths
+# share this value, so token output is unaffected (live extension
+# continues where the cap stops); the packed dist<<5|len encoding
+# allows up to 31.
+EXT_CAP = 8
 
 
 def _u32(x):
