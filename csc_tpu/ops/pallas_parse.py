@@ -409,6 +409,14 @@ def _make_kernel(B, C, NS, NTS, RMAX, good_len):
                 sel = lane256 == lane[:, None]
                 return jnp.sum(jnp.where(sel, row, 0), axis=1)
 
+            # shared pw row pair around ppos: at arm steps every lane's
+            # p-side read (and near-q reads of small-distance reps) hits
+            # this pair, so the per-lane stagings below only run when a
+            # lane's row actually differs (gated conds) — the dominant
+            # per-step cost at ~2.6 us per 16-row pair staging
+            shared_sub = jnp.clip(poff, 0, TILE - 129) >> 7
+            pw_shared = stage_pair(pw, shared_sub)
+
             al = alive_cur
             nrounds = max(R_INL, R_EXT)
             for i in range(NLANE):
@@ -426,7 +434,13 @@ def _make_kernel(B, C, NS, NTS, RMAX, good_len):
                     p0 = ppos + li0
                     # q row pair: pw for near lanes, rw/fw for far
                     qoff_pw = jnp.clip(q0 - pw_base_c, 0, TILE - 1)
-                    qrow = stage_pair(pw, qoff_pw >> 7)
+                    q_shared = (qoff_pw >> 7) == shared_sub
+                    q_own = lane_any & lane_near[i] & ~q_shared
+                    qrow = jax.lax.cond(
+                        jnp.any(q_own),
+                        lambda: stage_pair(pw, qoff_pw >> 7),
+                        lambda: pw_shared)
+                    qrow = jnp.where(_col(q_shared), pw_shared, qrow)
                     qlane0 = qoff_pw & 127
                     if i < 4:
                         sl = phys(i)
@@ -459,7 +473,13 @@ def _make_kernel(B, C, NS, NTS, RMAX, good_len):
                         qrow = jnp.where(_col(far), qrow_far, qrow)
                         qlane0 = jnp.where(far, off & 127, qlane0)
                     poff0 = jnp.clip(p0 - pw_base_c, 0, TILE - 1)
-                    prow = stage_pair(pw, poff0 >> 7)
+                    p_shared = (poff0 >> 7) == shared_sub
+                    p_own = lane_any & ~p_shared
+                    prow = jax.lax.cond(
+                        jnp.any(p_own),
+                        lambda: stage_pair(pw, poff0 >> 7),
+                        lambda: pw_shared)
+                    prow = jnp.where(_col(p_shared), pw_shared, prow)
                     plane0 = poff0 & 127
                     # per-step cap: stay inside both staged pairs
                     cap = jnp.minimum(252 - qlane0, 252 - plane0)

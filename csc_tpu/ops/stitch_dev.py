@@ -258,7 +258,8 @@ def stitch_device_tapes(tapes, data_dev, run_tables, tl_out=None,
             loff[j, k] = acc
             acc += ln
     if tl_out is None:
-        tl_out = _bucket(plan_out_bound(run_tables, TL_in), 1024)
+        from .pallas_decode import _bucket15
+        tl_out = _bucket15(plan_out_bound(run_tables, TL_in), 1024)
     kk, aa, bb, cc = _stitch_dev(
         tapes, data_dev, jnp.asarray(rtype), jnp.asarray(rdecl),
         jnp.asarray(rlen), jnp.asarray(rlast), jnp.asarray(rvalid),
