@@ -34,7 +34,8 @@ from .encode_scan import K_LIT, K_MATCH, K_REP, K_REP0L1, K_END
 from .encode_bits import (K_INT, K_SENT, K_FLUSH, K_RAW, K_ELIT, K_DLIT,
                           K_RLEN)
 from .pallas_decode import (_col, _u32, _i32, _ult, _tile_pair, _tile_gather,
-                            _lut, _bucket, NP_ROWS, TS, BLK, TILE)
+                            _row_onehot, _lut, _bucket, NP_ROWS, TS, BLK,
+                            TILE)
 
 # fsm ids (mirror encode_bits.py B_*)
 F_DONE = 0
@@ -226,9 +227,21 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
                 lambda: _tile_pair(probs, win_row, nrows=NP_ROWS),
                 lambda: jnp.zeros((B, 256), jnp.int32))
             gsub_lit = grp_slot * 8 + (gctx & 3) * 2
+
+            def _lit_pair_even():
+                # gsub_lit is always even: lo rows are the 8 even rows,
+                # hi rows the 8 odd ones — half the staging selects
+                oh = _row_onehot(gsub_lit >> 1, TS // 2)
+                lo = jnp.zeros((B, 128), jnp.int32)
+                hi = jnp.zeros((B, 128), jnp.int32)
+                for s in range(TS // 2):
+                    lo = lo + jnp.where(oh[:, s:s + 1], grp[:, 2 * s, :], 0)
+                    hi = hi + jnp.where(oh[:, s:s + 1],
+                                        grp[:, 2 * s + 1, :], 0)
+                return jnp.concatenate([lo, hi], axis=1)
+
             lit_pair = jax.lax.cond(
-                jnp.any(use_gc0),
-                lambda: _tile_pair(grp, gsub_lit),
+                jnp.any(use_gc0), _lit_pair_even,
                 lambda: jnp.zeros((B, 256), jnp.int32))
 
             # rc/bc output windows (current partial content staged in)
@@ -319,11 +332,15 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
                 drain = live & (pending > 0)
                 act = is_bit & state_open & (pending == 0)
 
-                # serve pending carry-run bytes first
-                run_byte = (0xFF + pend_carry) & 0xFF
-                rc_pair, rc_cnt, rcmap_idx, rcmap_val = rc_emit(
-                    rc_pair, rc_cnt, run_byte, drain, bc_cnt,
-                    rcmap_idx, rcmap_val)
+                # serve pending carry-run bytes first (rare: carry runs)
+                def _drain(args):
+                    rp, rcn, mi, mv = args
+                    run_byte = (0xFF + pend_carry) & 0xFF
+                    return rc_emit(rp, rcn, run_byte, drain, bc_cnt,
+                                   mi, mv)
+                rc_pair, rc_cnt, rcmap_idx, rcmap_val = jax.lax.cond(
+                    jnp.any(drain), _drain, lambda a: a,
+                    (rc_pair, rc_cnt, rcmap_idx, rcmap_val))
                 pending = jnp.where(drain, pending - 1, pending)
 
                 # driven bit value per state
@@ -614,32 +631,16 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
             bcb = g("bc_bits")
             bc_wr = [bc_pair, bc_cnt, bcmap_idx, bcmap_val]
 
-            def bc_emit_bytes(mask, nmax):
-                nonlocal bcv, bcb
-                for _ in range(nmax):
-                    e = mask & (bcb >= 8)
-                    byte = _i32(_u32(bcv)
-                                >> _u32(jnp.clip(bcb - 8, 0, 31))) & 0xFF
-                    oh = lane256 == jnp.where(e, bc_wr[1] - bc_wbase,
-                                              -1)[:, None]
-                    bc_wr[0] = jnp.where(
-                        oh, jnp.broadcast_to(byte[:, None], (B, 256)),
-                        bc_wr[0])
-                    bc_wr[1] = jnp.where(e, bc_wr[1] + 1, bc_wr[1])
-                    crossed = e & (bc_wr[1] > 0) & (bc_wr[1] % bsize == 0)
-                    bc_wr[2] = jnp.where(
-                        crossed, jnp.clip(bc_wr[1] // bsize - 1, 0,
-                                          NBLKMAP - 1), bc_wr[2])
-                    bc_wr[3] = jnp.where(crossed, rc_cnt, bc_wr[3])
-                    bcb = jnp.where(e, bcb - 8, bcb)
-
             def enc_direct(mask, val, nbits):
+                # bit accumulation only; byte extraction is deferred to
+                # one GATED drain after all enc_direct calls (the bc
+                # states are rare — no [B,256] work on ordinary steps).
+                # Max 21 bits accrue per step, so bcb stays < 32.
                 nonlocal bcv, bcb
                 nv = _i32((_u32(bcv) << _u32(jnp.clip(nbits, 0, 31)))
                           | _u32(val))
                 bcv = jnp.where(mask, nv, bcv)
                 bcb = jnp.where(mask, bcb + nbits, bcb)
-                bc_emit_bytes(mask, 3)
 
             # DISTDIRECT
             c = is_dird
@@ -685,6 +686,32 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
             enc_direct(ph1, jnp.where(ph1, vv, 0), jnp.where(ph1, nb1, 0))
             upd("fsm", ph1, F_NEXT)
 
+            # deferred bc byte drain (gated: only steps where some
+            # stream ran a bc micro-op leave bcb >= 8)
+            def _bc_drain(args):
+                pair, cnt, mi, mv, b_ = args
+                for _ in range(3):
+                    e = b_ >= 8
+                    byte = _i32(_u32(bcv)
+                                >> _u32(jnp.clip(b_ - 8, 0, 31))) & 0xFF
+                    oh = lane256 == jnp.where(e, cnt - bc_wbase,
+                                              -1)[:, None]
+                    pair = jnp.where(
+                        oh, jnp.broadcast_to(byte[:, None], (B, 256)),
+                        pair)
+                    cnt = jnp.where(e, cnt + 1, cnt)
+                    crossed = e & (cnt > 0) & (cnt % bsize == 0)
+                    mi = jnp.where(
+                        crossed, jnp.clip(cnt // bsize - 1, 0,
+                                          NBLKMAP - 1), mi)
+                    mv = jnp.where(crossed, rc_cnt, mv)
+                    b_ = jnp.where(e, b_ - 8, b_)
+                return pair, cnt, mi, mv, b_
+
+            (bc_wr[0], bc_wr[1], bc_wr[2], bc_wr[3], bcb) = jax.lax.cond(
+                jnp.any(bcb >= 8), _bc_drain, lambda a: a,
+                (bc_wr[0], bc_wr[1], bc_wr[2], bc_wr[3], bcb))
+
             # ---------------- F_FLUSH (csc_coder.cpp:40-74) -----------
             c = is_flush & (pending == 0)
             fstep = c & (g("flush_i") < 5)
@@ -692,9 +719,12 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
                              | (lowhi != 0))
             fcarry = jnp.where(ftrig, lowhi, 0)
             fbyte = (cache + fcarry) & 0xFF
-            rc_pair, rc_cnt, rcmap_idx, rcmap_val = rc_emit(
-                rc_pair, rc_cnt, fbyte, ftrig, bc_wr[1],
-                rcmap_idx, rcmap_val)
+            rc_pair, rc_cnt, rcmap_idx, rcmap_val = jax.lax.cond(
+                jnp.any(ftrig),
+                lambda a: rc_emit(a[0], a[1], fbyte, ftrig, bc_wr[1],
+                                  a[2], a[3]),
+                lambda a: a,
+                (rc_pair, rc_cnt, rcmap_idx, rcmap_val))
             frun = ftrig & (cachesize > 1)
             pending = jnp.where(frun, cachesize - 1, pending)
             pend_carry = jnp.where(frun, fcarry, pend_carry)
@@ -706,22 +736,30 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
             upd("flush_i", fstep, g("flush_i") + 1)
 
             fdone = c & (g("flush_i") >= 5)
-            pb1 = jnp.where(bcb > 0,
-                            _i32(_u32(bcv)
-                                 << _u32(8 - jnp.clip(bcb, 0, 8))) & 0xFF,
-                            0)
-            for pad_byte in (pb1, jnp.zeros_like(pb1)):
-                oh = lane256 == jnp.where(fdone, bc_wr[1] - bc_wbase,
-                                          -1)[:, None]
-                bc_wr[0] = jnp.where(
-                    oh, jnp.broadcast_to(pad_byte[:, None], (B, 256)),
-                    bc_wr[0])
-                bc_wr[1] = jnp.where(fdone, bc_wr[1] + 1, bc_wr[1])
-                crossed = fdone & (bc_wr[1] > 0) & (bc_wr[1] % bsize == 0)
-                bc_wr[2] = jnp.where(
-                    crossed, jnp.clip(bc_wr[1] // bsize - 1, 0,
-                                      NBLKMAP - 1), bc_wr[2])
-                bc_wr[3] = jnp.where(crossed, rc_cnt, bc_wr[3])
+
+            def _pads(args):
+                pair, cnt, mi, mv = args
+                pb1 = jnp.where(
+                    bcb > 0,
+                    _i32(_u32(bcv)
+                         << _u32(8 - jnp.clip(bcb, 0, 8))) & 0xFF, 0)
+                for pad_byte in (pb1, jnp.zeros_like(pb1)):
+                    oh = lane256 == jnp.where(fdone, cnt - bc_wbase,
+                                              -1)[:, None]
+                    pair = jnp.where(
+                        oh, jnp.broadcast_to(pad_byte[:, None],
+                                             (B, 256)), pair)
+                    cnt = jnp.where(fdone, cnt + 1, cnt)
+                    crossed = fdone & (cnt > 0) & (cnt % bsize == 0)
+                    mi = jnp.where(
+                        crossed, jnp.clip(cnt // bsize - 1, 0,
+                                          NBLKMAP - 1), mi)
+                    mv = jnp.where(crossed, rc_cnt, mv)
+                return pair, cnt, mi, mv
+
+            (bc_wr[0], bc_wr[1], bc_wr[2], bc_wr[3]) = jax.lax.cond(
+                jnp.any(fdone), _pads, lambda a: a,
+                (bc_wr[0], bc_wr[1], bc_wr[2], bc_wr[3]))
 
             # chunk log: (rc_cnt, bc_cnt) after the flush bytes
             def _log_chunk(_):
