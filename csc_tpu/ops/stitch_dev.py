@@ -18,10 +18,13 @@ rewrite on-device with batched gathers:
          | tail tokens       (K_INT cont [, K_FLUSH])
          | K_END             (fill)
 
-DT_DLT runs (CompressRLE) keep the host path: their payload is the
-delta-filtered copy with a host-precomputed run skeleton
-(encode_host.rle_tape); the caller routes streams containing one to the
-host stitcher.
+DT_DLT runs (CompressRLE, csc_model.cpp:471-513) ride an auxiliary
+token tape: their payload is the delta-filtered copy whose RLE
+skeleton (K_DLIT/K_RLEN tokens) the host precomputes with
+encode_host.rle_tape and uploads packed one-int32-per-token
+(kind<<30 | b<<8 | a); the stitcher gathers and unpacks them like the
+LZ segments.  The aux upload costs 4 B/token over the tunnel — small
+next to re-routing the whole stream through the host stitcher.
 """
 import functools
 
@@ -29,24 +32,28 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..constants import DT_ENGTXT, DT_NO_LZ, DT_BAD, DT_ENTROPY
+from ..constants import DT_ENGTXT, DT_NO_LZ, DT_BAD, DT_ENTROPY, DT_DLT
 from .encode_scan import (K_END, K_SENT_A, K_LIT, K_MATCH, K_REP,
                           K_REP0L1)
 from .encode_bits import K_INT, K_SENT, K_FLUSH, K_RAW, K_ELIT
 
 
-def plan_out_bound(run_tables, tl_in):
+def plan_out_bound(run_tables, tl_in, dlt_toks=None):
     """Static upper bound of the stitched tape length (host-side).
 
     LZ segments are bounded by the parse tape length; headers, tails,
-    sentinels and BAD/ENT payload sizes are known from the run table."""
+    sentinels and BAD/ENT payload sizes are known from the run table.
+    dlt_toks: per-stream list of per-run aux token counts (0 for
+    non-DLT runs), required when any run table contains a DT_DLT run."""
     worst = 0
-    for rt in run_tables:
+    for j, rt in enumerate(run_tables):
         extra = 1                      # K_END
-        for (t, rlen, _decl, last, _pl) in rt:
+        for k, (t, rlen, _decl, last, _pl) in enumerate(rt):
             extra += 1 + (1 if (t == DT_ENGTXT or t >= DT_NO_LZ) else 0)
             extra += 1 + (1 if last else 0)
-            if t == DT_BAD:
+            if t >= DT_DLT:
+                extra += dlt_toks[j][k]
+            elif t == DT_BAD:
                 extra += (rlen + 1) // 2
             elif t == DT_ENTROPY:
                 extra += rlen
@@ -58,9 +65,12 @@ def plan_out_bound(run_tables, tl_in):
 
 @functools.partial(jax.jit, static_argnums=(8, 9))
 def _stitch_dev(tapes, data_dev, rtype, rdecl, rlen, rlast, rvalid, loff,
-                TL_out, fill_from_data=False):
+                TL_out, fill_from_data=False, aux=None, astart=None,
+                aplen=None):
     """tapes: (tk, ta, tb, tc) [B, TL_in] i32 parse tapes (device).
     data_dev: [B, N] u8 LZ input.  r*: [B, R] i32 run tables.
+    aux/astart/aplen: packed DT_DLT token tape [B, AUXL] i32 plus
+    per-run start/count (None when no stream has a DLT run).
     Returns stitched (tkk, taa, tbb, tcc) [B, TL_out] i32."""
     tk, ta, tb, tc = tapes
     B, TL_in = tk.shape
@@ -85,6 +95,8 @@ def _stitch_dev(tapes, data_dev, rtype, rdecl, rlen, rlast, rvalid, loff,
     has_size = (rtype == DT_ENGTXT) | (rtype >= DT_NO_LZ)
     hlen = jnp.where(rvalid > 0, 1 + has_size.astype(jnp.int32), 0)
     plen_nolz = jnp.where(rtype == DT_BAD, (rlen + 1) // 2, rlen)
+    if aux is not None:
+        plen_nolz = jnp.where(rtype >= DT_DLT, aplen, plen_nolz)
     plen = jnp.where(is_lz, seg_len + 1, plen_nolz)
     plen = jnp.where(rvalid > 0, plen, 0)
     tlen = jnp.where(rvalid > 0, 1 + rlast, 0)
@@ -167,10 +179,24 @@ def _stitch_dev(tapes, data_dev, rtype, rdecl, rlen, rlast, rvalid, loff,
     aa = jnp.where(is_badp,
                    jnp.where(pair_full, (d0 << 8) | d1, d0), aa)
     bb = jnp.where(is_badp, jnp.where(pair_full, 16, 8), bb)
-    is_entp = is_pay & ~is_lz_g & ~is_bad_g
+    is_dlt_g = type_g >= DT_DLT
+    is_entp = is_pay & ~is_lz_g & ~is_bad_g & ~is_dlt_g
     kk = jnp.where(is_entp, K_ELIT, kk)
     aa = jnp.where(is_entp, d0, aa)
     bb = jnp.where(is_entp, 0, bb)
+    if aux is not None:
+        # DLT payload: unpack kind<<30 | b<<8 | a from the aux tape
+        is_dltp = is_pay & is_dlt_g
+        astart_g = g(astart)
+        AUXL = aux.shape[1]
+        ai = jnp.clip(astart_g + pc, 0, AUXL - 1)
+        packed = jnp.take_along_axis(aux, ai, axis=1)
+        kk = jnp.where(is_dltp,
+                       jnp.where(packed >> 30 != 0, K_RLEN, K_DLIT), kk)
+        aa = jnp.where(is_dltp, packed & 0xFF, aa)
+        bb = jnp.where(is_dltp, (packed >> 8) & 0x3FFFFF, bb)
+    else:
+        is_dltp = jnp.zeros_like(is_entp)
 
     # header (written last: precedence irrelevant, masks are disjoint)
     is_h0 = is_hdr & (off == 0)

@@ -48,6 +48,6 @@ print(f"timed pass: {t3 - t2:.2f}s -> {B * CH / (t3 - t2) / 1e6:.3f} MB/s")
 # round-trip spot check
 from csc_tpu.golden.decoder import decode_stream  # noqa: E402
 for j in (0, B // 2, B - 1):
-    out = decode_stream(eprops[j], outs[j])
+    out = b"".join(decode_stream(eprops[j], outs[j]))
     assert out == chunks[j], f"round-trip mismatch stream {j}"
 print("round-trip ok")
