@@ -53,6 +53,24 @@ from .decode_scan import (
 # kernel-only FSM state: coder (re)priming after init / chunk reset
 F_PRIME = 22
 
+# ---- step-local chained-phase ids (round 4): one lockstep step walks a
+# stream across MULTIPLE probability trees (flags -> len, or dist slot ->
+# dist extra) as long as every tree it can touch lies inside the step's
+# staged 256-lane window.  A match token then costs ~3 steps (token /
+# dist / copy) instead of ~7 (csc_dec.cpp:476-571 trees).
+PH_FLAG1, PH_FLAG2, PH_FLAG3, PH_REP = 0, 1, 2, 3
+PH_SLOT0, PH_SLOT1, PH_TREE3, PH_TREE7 = 4, 5, 6, 7
+PH_LONG, PH_LIT, PH_DSLOT, PH_DEXTRA, PH_ENT = 8, 9, 10, 11, 12
+PH_HALT = 15
+# step exit kinds (post-loop transition dispatch)
+EX_NONE, EX_LIT, EX_ENT, EX_R01, EX_LENDONE, EX_LEN7 = 0, 1, 2, 3, 4, 5
+EX_LONG, EX_MATCH, EX_DDBIG, EX_LITP = 6, 7, 8, 9
+# restage point: dist-slot trees take <=5 bits (sbits<=5), so every
+# DSLOT lane is done when bit 5 starts; the extra-nibble row is staged
+# there.  9 bits covers slot+extra; 10 covers the longest token-step
+# path (flag1,flag2,flag3,reptree(2),lenslot(2),lentree3(3)).
+RESTAGE_BIT = 5
+
 NP_ROWS = 12             # small prob tables as [B, NP_ROWS, 128] tile
 
 # Kernel-local PADDED small-table layout: every probability tree is
@@ -184,13 +202,28 @@ def _tile_one(tile_refs, sub, use_first=None, nrows=TS):
     B = sub.shape[0]
     oh = _row_onehot(sub, nrows)
     ufcol = None if rb is None else _col(use_first)
-    lo = jnp.zeros((B, 128), jnp.int32)
+    lo = jnp.zeros((B, 128), ra.dtype)
     for s in range(nrows):
         row = ra[:, s, :]
         if rb is not None:
             row = jnp.where(ufcol, row, rb[:, s, :])
         lo = lo + jnp.where(oh[:, s:s + 1], row, 0)
     return lo
+
+
+def _tile_pair_even(ref, half, nhalf=8):
+    """[B,256] = rows (2h, 2h+1) of a [B,2*nhalf,128] tile, h per stream.
+    Half the row scan of _tile_pair for 2-aligned pairs (the literal-ctx
+    subtree pairs are always even-anchored: gsub = slot*8 + (ctx&3)*2)."""
+    B = half.shape[0]
+    oh = _row_onehot(half, nhalf)
+    lo = jnp.zeros((B, 128), ref.dtype)
+    hi = jnp.zeros((B, 128), ref.dtype)
+    for s in range(nhalf):
+        m = oh[:, s:s + 1]
+        lo = lo + jnp.where(m, ref[:, 2 * s, :], 0)
+        hi = hi + jnp.where(m, ref[:, 2 * s + 1, :], 0)
+    return jnp.concatenate([lo, hi], axis=1)
 
 
 def _tile_pair(tile_refs, sub, use_first=None, nrows=TS):
@@ -249,7 +282,8 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
     arrays.  NB: framing block table width."""
     import os as _os
     _ABL = set(filter(None, _os.environ.get("PDK_ABL", "").split(",")))
-    KBITS = int(_os.environ.get("PDK_KBITS", "9"))
+    KBITS = int(_os.environ.get("PDK_KBITS", "10"))
+    assert KBITS >= 10, "chained token step needs 10 bits"
     # PDK_DUP: profiling ablation by DUPLICATION — re-run a section with
     # a runtime-zero perturbation (dz) and discard the result through a
     # runtime-false select, so semantics are unchanged but the section's
@@ -282,7 +316,7 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
         lane_nb = jax.lax.broadcasted_iota(jnp.int32, (B, NB), 1)
         lane_log = jax.lax.broadcasted_iota(jnp.int32, (B, 2 * max_blocks), 1)
 
-        probs[:] = jnp.full((B, NP_ROWS, 128), 2048, jnp.int32)
+        probs[:] = jnp.full((B, NP_ROWS, 128), 2048.0, jnp.float32)
         blklog_ref[:] = jnp.zeros((B, 2 * max_blocks), jnp.int32)
 
         def ends_gather(ends_ref, idx):
@@ -342,8 +376,10 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                                 jnp.where(is_bit0, KBITS, 0))
             rc_miss = (rc_need > 0) & ((rc_ptr < rc_base)
                                        | (rc_ptr + rc_need > rc_base + TILE))
-            bc_miss = is_dir0 & ((bc_ptr < bc_base)
-                                 | (bc_ptr + 4 > bc_base + TILE))
+            # DISTSLOT steps may consume <=16 fused direct bits (high
+            # dist bits, csc_dec.cpp:259-263) -> need bc residency too
+            bc_miss = (is_dir0 | (is_bit0 & (fsm == F_DISTSLOT))) \
+                & ((bc_ptr < bc_base) | (bc_ptr + 4 > bc_base + TILE))
 
             # literal-group residency (LITTREE/ENTTREE use p_lit[ctx],
             # csc_model.cpp:169-183; RLETREE excluded in v1)
@@ -389,271 +425,361 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             # (RQ_SWAP_* payload rows are written after the transitions,
             # where the ctx-change prefetch mask is known)
 
-            # =================== BIT micro-op ============================
-            # prob index: small tables vs group cache
-            # nested-where select (jnp.select lowers to argmax, which
-            # Mosaic only supports for f32)
-            _sel_pairs = [
-                (fsm == F_FLAG1, PP_STATE + mstate8),
-                (fsm == F_FLAG2, PP_STATE + mstate8 + 1),
-                (fsm == F_FLAG3, PP_STATE + mstate8 + 2),
-                (fsm == F_REPTREE, PP_STATE + mstate8 + 3 + node),
-                (fsm == F_LENSLOT0, jnp.full_like(node, PP_LEN)),
-                (fsm == F_LENSLOT1, jnp.full_like(node, PP_LEN + 1)),
-                (fsm == F_LENTREE3,
-                 jnp.where(g("len_tbl") == 1, PP_LEN + 16,
-                           PP_LEN + 24) + node),
-                (fsm == F_LENTREE7, PP_MLEX3 + node),
-                (fsm == F_LONGLEN, jnp.full_like(node, PP_LEN + 32)),
-                (fsm == F_DISTSLOT, PP_DIST + g("pdist_pos") + node),
-                (fsm == F_DISTEXTRA,
-                 PP_MDEXTRA + (g("ebits") - 1) * 16 + node),
-            ]
-            pidx = jnp.zeros_like(node)
-            for _c, _v in _sel_pairs:
-                pidx = jnp.where(_c, _v, pidx)
-            use_small = is_bit & ~uses_grp
-            pidx = jnp.where(use_small, pidx, 0)
-
-            # group-cache access is by tree node within the staged
-            # 256-entry ctx subtree (see lit_pair below)
-            use_gc = is_bit & uses_grp
-            # FLAG1 streams whose literal group is already resident may
-            # CHAIN into the literal tree within this same step (the
-            # group is usually resident thanks to the ctx-change
-            # prefetch issued when the previous token completed)
-            flag1_lit_ok = is_bit & (fsm == F_FLAG1) & (grp_key == want_key)
-
-            # ---- K-bit unrolled range decode.  Bit 0 serves every BIT
-            # state; bits 1..K-1 continue only streams still descending
-            # the SAME probability tree (fsm is unchanged during tree
-            # descent), so the regular transition code below runs once on
-            # the final node.  Each inner bit sees the previous bit's
-            # adapted probabilities (RMW applied between bits).
+            # =================== BIT micro-op (chained) ==================
+            # Round-4 redesign: one lockstep step walks a stream across
+            # MULTIPLE probability trees (csc_dec.cpp:476-571) as long as
+            # every tree it can touch lies inside the step's staged
+            # 256-lane window:
+            #   token step  (F_FLAG1):  state row (flags+reptree) || len
+            #               row -> flags, len slots, lentree3, longlen
+            #   dist step   (F_DISTSLOT): dist rows 6||7 -> slot tree,
+            #               then (restaged at RESTAGE_BIT) the extra-
+            #               nibble row, plus <=16 fused direct bc bits
+            #   group steps (F_LITTREE/F_ENTTREE): staged literal-ctx
+            #               subtree pair (p_lit[ctx], csc_model.cpp:169)
+            #   F_LENTREE7 / F_LONGLEN / F_DISTEXTRA: single-row windows
+            # Probability adaptation is DEFERRED: within one step every
+            # prob cell is read at most once (tree descents never repeat
+            # a node; LONGLEN re-reads park the lane), so deltas
+            # accumulate in a register window and flush ONCE via MXU
+            # outer products (measured 2.4x cheaper than row-select
+            # writeback at B=128).  Framing-block ids are derived lazily
+            # at chunk resets instead of per-refill (csc_memio semantics
+            # are only consulted there).
             dz = max_steps_ref[0, 0] >> 30          # runtime 0 (profiling)
             dcol = jnp.full((B, 1), dz) != 0        # runtime False
 
-            # the whole literal/entropy tree descent hits ONE 256-entry
-            # ctx subtree (2 tile rows): stage it into a register pair so
-            # per-bit group access is a [B,256] one-hot, and write it back
-            # once after the K bits (csc_model.h:104 layout)
-            gsub_lit = grp_slot * 8 + (ctx & 3) * 2
+            ebits0 = g("ebits")
+            m8l = mstate8 & 127
+            # per-entry-state window rows (wlo = lanes 0-127, whi = 128+)
+            exrow0 = jnp.clip(8 + ((ebits0 - 1) >> 3), 8, NP_ROWS - 1)
+            c4 = jnp.full_like(fsm, 4)
+            lo_row = jnp.where(fsm == F_FLAG1, mstate8 >> 7, c4)
+            hi_row = c4
+            for _c, _lo in [(fsm == F_LENTREE7, jnp.full_like(fsm, 5)),
+                            (fsm == F_DISTSLOT, jnp.full_like(fsm, 6)),
+                            (fsm == F_DISTEXTRA, exrow0)]:
+                lo_row = jnp.where(_c, _lo, lo_row)
+                hi_row = jnp.where(_c, _lo, hi_row)
+            hi_row = jnp.where(fsm == F_DISTSLOT, 7, hi_row)
+
+            use_gc = is_bit & uses_grp
+            flag1_lit_ok = is_bit & (fsm == F_FLAG1) & (grp_key == want_key)
             use_gc_any = use_gc | flag1_lit_ok
+            gsub_lit = grp_slot * 8 + (ctx & 3) * 2
             lit_pair = jax.lax.cond(
                 jnp.any(use_gc_any),
-                lambda: _tile_pair(grp, gsub_lit),
-                lambda: jnp.zeros((B, 256), jnp.int32))
-            if "stage" in _DUP:
-                lit_pair = jnp.where(dcol, jax.lax.cond(
-                    jnp.any(use_gc_any),
-                    lambda: _tile_pair(grp, gsub_lit + dz),
-                    lambda: jnp.zeros((B, 256), jnp.int32)), lit_pair)
+                lambda: _tile_pair_even(grp, gsub_lit >> 1),
+                lambda: jnp.zeros((B, 256), jnp.float32))
 
-            # stage the next <=256 coder bytes as a register pair too: a
-            # K-bit step refills at most K bytes, all within the window
-            # (stall check guarantees rc tile residency for K bytes)
+            # small-table window halves: one NP_ROWS pass stages both
+            need_small = is_bit & ~uses_grp
+
+            def _stage_small():
+                ohlo = _row_onehot(lo_row, NP_ROWS)
+                ohhi = _row_onehot(hi_row, NP_ROWS)
+                lo = jnp.zeros((B, 128), jnp.float32)
+                hi = jnp.zeros((B, 128), jnp.float32)
+                for s in range(NP_ROWS):
+                    row = probs[:, s, :]
+                    lo = lo + jnp.where(ohlo[:, s:s + 1], row, 0)
+                    hi = hi + jnp.where(ohhi[:, s:s + 1], row, 0)
+                return jnp.concatenate([lo, hi], axis=1)
+
+            small_pair = jax.lax.cond(
+                jnp.any(need_small), _stage_small,
+                lambda: jnp.zeros((B, 256), jnp.float32))
+            comb = jnp.where(_col(use_gc), lit_pair, small_pair)
+
+            # next <=256 coder bytes as a register pair (stall check
+            # guarantees KBITS-byte residency)
             roff0 = rc_ptr - rc_base
             rc_win_base = rc_base + (roff0 & ~127)
             rc_pair = jax.lax.cond(
                 jnp.any(is_bit),
                 lambda: _tile_pair(rc_t, jnp.clip(roff0 >> 7, 0, TS - 1)),
                 lambda: jnp.zeros((B, 256), jnp.int32))
-            if "stage" in _DUP:
-                rc_pair = jnp.where(dcol, jax.lax.cond(
-                    jnp.any(is_bit),
-                    lambda: _tile_pair(
-                        rc_t, jnp.clip((roff0 >> 7) + dz, 0, TS - 1)),
-                    lambda: jnp.zeros((B, 256), jnp.int32)), rc_pair)
 
-            # ...and the small-table window: every small-table index a
-            # stream can touch during this step lies in ONE 256-lane
-            # window anchored by its bit-0 state (trees never change fsm
-            # mid-descent; all spans <=128, see csc_model.h tables)
-            # the padded layout guarantees every tree a stream can touch
-            # during this step lies in ONE 128-lane row (win_row)
-            base_small = jnp.zeros_like(node)
-            for _c, _v in [
-                    ((fsm == F_FLAG1) | (fsm == F_FLAG2)
-                     | (fsm == F_FLAG3) | (fsm == F_REPTREE),
-                     PP_STATE + mstate8),
-                    ((fsm == F_LENSLOT0) | (fsm == F_LENSLOT1)
-                     | (fsm == F_LENTREE3) | (fsm == F_LONGLEN),
-                     jnp.full_like(node, PP_LEN)),
-                    (fsm == F_LENTREE7, jnp.full_like(node, PP_MLEX3)),
-                    (fsm == F_DISTSLOT, PP_DIST + g("pdist_pos")),
-                    (fsm == F_DISTEXTRA,
-                     PP_MDEXTRA + (g("ebits") - 1) * 16)]:
-                base_small = jnp.where(_c, _v, base_small)
-            win_row = jnp.clip(base_small >> 7, 0, NP_ROWS - 1)
-            win_base = win_row << 7
-            small_win = jax.lax.cond(
-                jnp.any(use_small),
-                lambda: _tile_one(probs, win_row, nrows=NP_ROWS),
-                lambda: jnp.zeros((B, 128), jnp.int32))
-            if "stage" in _DUP:
-                small_win = jnp.where(dcol[:, :1], jax.lax.cond(
-                    jnp.any(use_small),
-                    lambda: _tile_one(probs, win_row + dz,
-                                      nrows=NP_ROWS),
-                    lambda: jnp.zeros((B, 128), jnp.int32)), small_win)
+            # entry phase + tree params (idx = baser + node, node from 1)
+            pdp = g("pdist_pos")
+            exbase0 = ((ebits0 - 1) * 16) & 127
+            ph = jnp.full_like(fsm, PH_HALT)
+            baser = jnp.zeros_like(fsm)
+            lim = jnp.full_like(fsm, 2)
+            for _c, _p, _b, _l in [
+                    (fsm == F_FLAG1, PH_FLAG1, m8l - 1,
+                     jnp.full_like(fsm, 2)),
+                    (fsm == F_LITTREE, PH_LIT, jnp.zeros_like(fsm),
+                     jnp.full_like(fsm, 256)),
+                    (fsm == F_ENTTREE, PH_ENT, jnp.zeros_like(fsm),
+                     jnp.full_like(fsm, 256)),
+                    (fsm == F_LENTREE7, PH_TREE7, jnp.zeros_like(fsm),
+                     jnp.full_like(fsm, 128)),
+                    (fsm == F_LONGLEN, PH_LONG, jnp.full_like(fsm, 159),
+                     jnp.full_like(fsm, 2)),
+                    (fsm == F_DISTSLOT, PH_DSLOT, pdp,
+                     1 << jnp.clip(g("sbits"), 0, 5)),
+                    (fsm == F_DISTEXTRA, PH_DEXTRA, exbase0,
+                     jnp.full_like(fsm, 16))]:
+                cm = _c & is_bit
+                ph = jnp.where(cm, _p, ph)
+                baser = jnp.where(cm, _b, baser)
+                lim = jnp.where(cm, _l, lim)
+            xwait = fsm == F_DISTSLOT
 
-            def _kloop(rng, code, rc_ptrc, rc_blk, nnode, small_win,
-                       lit_pair):
-              bit = jnp.zeros((B,), jnp.bool_)
-              lit_chain = jnp.zeros((B,), jnp.bool_)
-              comb = jnp.zeros((B, 256), jnp.int32)
-              gc_cls = jnp.zeros((B,), jnp.bool_)
-              for ibit in range(KBITS):
-                if ibit == 0:
-                    act = is_bit
-                    use_gc_i = use_gc
-                    use_small_i = use_small
-                    pidx_i = pidx
-                else:
-                    tree_lim = jnp.zeros_like(node)
-                    for _f, _l in ((F_LITTREE, 0x100), (F_REPTREE, 4),
-                                   (F_LENTREE3, 8), (F_LENTREE7, 0x80),
-                                   (F_DISTEXTRA, 0x10),
-                                   (F_ENTTREE, 0x100)):
-                        tree_lim = jnp.where(fsm == _f, _l, tree_lim)
-                    tree_lim = jnp.where(
-                        fsm == F_DISTSLOT,
-                        1 << jnp.clip(g("sbits"), 0, 5), tree_lim)
-                    act = (is_bit & (tree_lim > 0) & (nnode < tree_lim)) \
-                        | (lit_chain & (nnode < 0x100))
-                    use_gc_i = act & gc_cls
-                    use_small_i = act & ~gc_cls
-                    pidx_i = jnp.zeros_like(node)
-                    for _c, _v in [
-                            (fsm == F_REPTREE,
-                             PP_STATE + mstate8 + 3 + nnode),
-                            (fsm == F_LENTREE3,
-                             jnp.where(g("len_tbl") == 1, PP_LEN + 16,
-                                       PP_LEN + 24) + nnode),
-                            (fsm == F_LENTREE7, PP_MLEX3 + nnode),
-                            (fsm == F_DISTSLOT,
-                             PP_DIST + g("pdist_pos") + nnode),
-                            (fsm == F_DISTEXTRA,
-                             PP_MDEXTRA + (g("ebits") - 1) * 16 + nnode)]:
-                        pidx_i = jnp.where(_c, _v, pidx_i)
-                    pidx_i = jnp.where(use_small_i, pidx_i, 0)
+            rngv, codev, rcp = g("rc_range"), g("rc_code"), rc_ptr
+            node = jnp.full_like(fsm, 1)
+            idxr = baser + 1
+            exitk = jnp.zeros_like(fsm)
+            lit_b = jnp.zeros_like(fsm)
+            nibv = jnp.zeros_like(fsm)
+            la, lp, lf = g("len_acc"), g("len_phase"), g("len_for")
+            lb, wlr, ri = g("len_base"), g("wire_len"), g("rep_idx")
+            slv, ebv = g("slot"), g("ebits")
+            dacc = jnp.zeros((B, 256), jnp.float32)
+            snapA = jnp.zeros((B, 256), jnp.float32)
+            sw_mask = jnp.zeros((B,), jnp.bool_)
 
-                # rc refill BEFORE the bit (csc_dec.cpp:11-22)
-                need = act & _ult(rng, jnp.int32(1 << 24))
-                woff = jnp.clip(rc_ptrc - rc_win_base, 0, 255)
+            for ibit in range(KBITS):
+                act = is_bit & (ph != PH_HALT)
+                if ibit < RESTAGE_BIT:
+                    act = act & ~((ph == PH_DEXTRA) & xwait)
+                if ibit == RESTAGE_BIT:
+                    # stage the extra-nibble row for slot->extra streams
+                    sw2 = (ph == PH_DEXTRA) & xwait & is_bit
+                    exrow2 = jnp.clip(8 + ((ebv - 1) >> 3), 8, NP_ROWS - 1)
+                    exw = jax.lax.cond(
+                        jnp.any(sw2),
+                        lambda: _tile_one(probs, exrow2, nrows=NP_ROWS),
+                        lambda: jnp.zeros((B, 128), jnp.float32))
+                    swc = _col(sw2)
+                    snapA = jnp.where(swc, dacc, snapA)
+                    dacc = jnp.where(swc, 0, dacc)
+                    comb = jnp.where(swc,
+                                     jnp.concatenate([exw, exw], axis=1),
+                                     comb)
+                    sw_mask = sw_mask | sw2
+
+                # rc refill BEFORE the bit (csc_dec.cpp:11-22); block ids
+                # are derived lazily at chunk resets, not tracked here
+                need = act & _ult(rngv, jnp.int32(1 << 24))
+                woff = jnp.clip(rcp - rc_win_base, 0, 255)
                 rbyte = jnp.sum(jnp.where(lane256 == woff[:, None],
                                           rc_pair, 0), axis=1)
-                rng = jnp.where(need, rng << 8, rng)
-                code = jnp.where(need, (code << 8) + rbyte, code)
-                rc_ptrc = jnp.where(need, rc_ptrc + 1, rc_ptrc)
-                rc_end = ends_gather(rc_ends_ref,
-                                     jnp.clip(rc_blk, 0, NB - 1))
-                rc_blk = jnp.where(need & (rc_ptrc >= rc_end),
-                                   rc_blk + 1, rc_blk)
+                rngv = jnp.where(need, rngv << 8, rngv)
+                codev = jnp.where(need, (codev << 8) + rbyte, codev)
+                rcp = jnp.where(need, rcp + 1, rcp)
+
+                # gather p; adaptation deferred into dacc
+                ohm = lane256 == jnp.where(act, idxr, -1)[:, None]
+                p = _i32(jnp.sum(jnp.where(ohm, comb, 0), axis=1))
+                bound = _i32(_u32(jnp.where(act, rngv, 0)) >> 12) * p
+                b_ = _ult(codev, bound) & act
+                dp = jnp.where(b_, (0xFFF - p) >> 5, -(p >> 5))
+                dacc = dacc + jnp.where(ohm,
+                                        dp.astype(jnp.float32)[:, None], 0)
+                rngv = jnp.where(act, jnp.where(b_, bound, rngv - bound),
+                                 rngv)
+                codev = jnp.where(act & ~b_, codev - bound, codev)
+
+                bi = _i32(b_)
+                node2 = node * 2 + bi
+                dn = act & (node2 >= lim)
+                # in-tree defaults
+                nph, nbase, nlim = ph, baser, lim
+                nidxr = idxr * 2 - baser + bi
+                nnode = node2
+                nla, nlp = la, lp
+
+                def T(m, p2, b2, l2):
+                    # enter tree (base b2, lim l2) at node 1
+                    nonlocal nph, nbase, nlim, nidxr, nnode
+                    nph = jnp.where(m, p2, nph)
+                    nbase = jnp.where(m, b2, nbase)
+                    nlim = jnp.where(m, l2, nlim)
+                    nidxr = jnp.where(m, b2 + 1, nidxr)
+                    nnode = jnp.where(m, 1, nnode)
+
+                def H(m, ex):
+                    nonlocal nph, exitk
+                    nph = jnp.where(m, PH_HALT, nph)
+                    exitk = jnp.where(m, ex, exitk)
+
+                # FLAG1 (csc_dec.cpp:513-521)
+                m = dn & (ph == PH_FLAG1)
+                T(m & b_, PH_FLAG2, m8l, jnp.full_like(fsm, 2))
+                go_lit = m & ~b_ & flag1_lit_ok
+                T(go_lit, PH_LIT, jnp.zeros_like(fsm),
+                  jnp.full_like(fsm, 256))
+                H(m & ~b_ & ~flag1_lit_ok, EX_LITP)
+                # FLAG2
+                m = dn & (ph == PH_FLAG2)
+                mb = m & b_
+                T(mb, PH_SLOT0, jnp.full_like(fsm, 127),
+                  jnp.full_like(fsm, 2))
+                lf = jnp.where(mb, LF_MATCH, lf)
+                nla = jnp.where(mb, 0, nla)
+                nlp = jnp.where(mb, 0, nlp)
+                T(m & ~b_, PH_FLAG3, m8l + 1, jnp.full_like(fsm, 2))
+                # FLAG3 (rep0len1 on bit 0, csc_dec.cpp:523-529)
+                m = dn & (ph == PH_FLAG3)
+                T(m & b_, PH_REP, m8l + 3, jnp.full_like(fsm, 4))
+                H(m & ~b_, EX_R01)
+                # REPTREE (2 bits)
+                m = dn & (ph == PH_REP)
+                ri = jnp.where(m, node2 & 3, ri)
+                lf = jnp.where(m, LF_REP, lf)
+                nla = jnp.where(m, 0, nla)
+                nlp = jnp.where(m, 0, nlp)
+                T(m, PH_SLOT0, jnp.full_like(fsm, 127),
+                  jnp.full_like(fsm, 2))
+                # LENSLOT0 / LENSLOT1 (csc_model.cpp:113-145 layout)
+                m = dn & (ph == PH_SLOT0)
+                mb = m & ~b_
+                T(mb, PH_TREE3, jnp.full_like(fsm, 144),
+                  jnp.full_like(fsm, 8))
+                lb = jnp.where(mb, 0, lb)
+                T(m & b_, PH_SLOT1, jnp.full_like(fsm, 128),
+                  jnp.full_like(fsm, 2))
+                m = dn & (ph == PH_SLOT1)
+                mb = m & ~b_
+                T(mb, PH_TREE3, jnp.full_like(fsm, 152),
+                  jnp.full_like(fsm, 8))
+                lb = jnp.where(mb, 8, lb)
+                mh = m & b_
+                lb = jnp.where(mh, 16, lb)
+                H(mh, EX_LEN7)
+                # LENTREE3 / LENTREE7 -> len complete (+ longlen escape)
+                m3 = dn & (ph == PH_TREE3)
+                m7 = dn & (ph == PH_TREE7)
+                mlc = m3 | m7
+                lenv = jnp.where(m3, lb + (node2 & 7), lb + (node2 & 127))
+                golong = mlc & (lp == 0) & (lenv == 143)
+                mlen_done = mlc & ~golong
+                wlr = jnp.where(mlen_done,
+                                jnp.where(lp == 0, lenv, la + lenv), wlr)
+                H(mlen_done, EX_LENDONE)
+                T(golong & m3, PH_LONG, jnp.full_like(fsm, 159),
+                  jnp.full_like(fsm, 2))
+                H(golong & m7, EX_LONG)
+                nla = jnp.where(golong, la + 143, nla)
+                # LONGLEN: bit1 -> second len pass; bit0 -> +143 and park
+                # (the same cell would be re-read, csc_dec.cpp len loop)
+                m = dn & (ph == PH_LONG)
+                mb = m & b_
+                T(mb, PH_SLOT0, jnp.full_like(fsm, 127),
+                  jnp.full_like(fsm, 2))
+                nlp = jnp.where(mb, 1, nlp)
+                mz = m & ~b_
+                nla = jnp.where(mz, la + 143, nla)
+                H(mz, EX_LONG)
+                # LITTREE / ENTTREE byte complete
+                m = dn & (ph == PH_LIT)
+                lit_b = jnp.where(m, node2 & 0xFF, lit_b)
+                H(m, EX_LIT)
+                m = dn & (ph == PH_ENT)
+                lit_b = jnp.where(m, node2 & 0xFF, lit_b)
+                H(m, EX_ENT)
+                # DISTSLOT (csc_dec.cpp:234-281)
+                m = dn & (ph == PH_DSLOT)
+                slotv = node2 - lim
+                slv = jnp.where(m, slotv, slv)
+                H(m & (slotv <= 2), EX_MATCH)
+                eb2 = slotv - 2
+                mbig = m & (slotv > 2)
+                ebv = jnp.where(mbig, eb2, ebv)
+                mfuse = mbig & (eb2 <= 20)
+                T(mfuse, PH_DEXTRA, ((eb2 - 1) * 16) & 127,
+                  jnp.full_like(fsm, 16))
+                H(mbig & ~mfuse, EX_DDBIG)
+                # DISTEXTRA nibble complete
+                m = dn & (ph == PH_DEXTRA)
+                nibv = jnp.where(m, node2 & 15, nibv)
+                H(m, EX_MATCH)
+
+                # commit
+                ph = nph
+                baser = jnp.where(act, nbase, baser)
+                lim = jnp.where(act, nlim, lim)
+                node = jnp.where(act, nnode, node)
+                idxr = jnp.where(act, nidxr, idxr)
+                la, lp = nla, nlp
 
                 if ibit == 0:
-                    # bit 0: separate small/gc gathers (FLAG1 streams
-                    # read their flag prob from the small window, then
-                    # may chain into the literal tree from bit 1)
-                    swoff = jnp.clip(pidx_i - win_base, 0, 127)
-                    oh_small = lane128 == jnp.where(use_small_i,
-                                                    swoff, -1)[:, None]
-                    p_small = jnp.sum(jnp.where(oh_small, small_win, 0),
-                                      axis=1)
-                    oh_gc = lane256 == jnp.where(use_gc_i, nnode,
-                                                 0)[:, None]
-                    p_gc = jnp.sum(jnp.where(oh_gc, lit_pair, 0), axis=1)
-                    p = jnp.where(use_gc_i, p_gc, p_small)
-                else:
-                    # bits 1..K-1: ONE gather from the per-stream merged
-                    # window (gc streams: lit subtree; small streams:
-                    # their 128-lane state row, duplicated)
-                    swoff = jnp.clip(pidx_i - win_base, 0, 127)
-                    idx = jnp.where(use_gc_i, nnode,
-                                    jnp.where(use_small_i, swoff, -1))
-                    oh = lane256 == idx[:, None]
-                    p = jnp.sum(jnp.where(oh, comb, 0), axis=1)
+                    # FLAG1 bit0 chains into the literal subtree: switch
+                    # the window and start a fresh delta accumulator
+                    swc1 = _col(go_lit)
+                    snapA = jnp.where(swc1, dacc, snapA)
+                    dacc = jnp.where(swc1, 0, dacc)
+                    comb = jnp.where(swc1, lit_pair, comb)
+                    sw_mask = sw_mask | go_lit
 
-                bound = _i32(_u32(jnp.where(act, rng, 0)) >> 12) * p
-                b_i = _ult(code, bound) & act
-                new_p = jnp.where(b_i, p + ((0xFFF - p) >> 5),
-                                  p - (p >> 5))
+            # ---- flush the deferred prob deltas via MXU outer products
+            sw_c = _col(sw_mask)
+            deltaA = jnp.where(sw_c, snapA, dacc)
+            deltaB = jnp.where(sw_c, dacc, jnp.zeros_like(dacc))
+            sw1 = sw_mask & (fsm == F_FLAG1)
+            sw2m = sw_mask & xwait
+            gc_c = _col(use_gc)
+            grp_delta = jnp.where(gc_c, deltaA,
+                                  jnp.where(_col(sw1), deltaB, 0.0))
+            probsA = jnp.where(gc_c, 0.0, deltaA)
+            probsB = jnp.where(_col(sw2m), deltaB, 0.0)
+            exrow_wb = jnp.clip(8 + ((ebv - 1) >> 3), 8, NP_ROWS - 1)
 
-                if ibit == 0:
-                    small_win = jnp.where(
-                        oh_small & _col(use_small_i),
-                        jnp.broadcast_to(new_p[:, None], (B, 128)),
-                        small_win)
-                    lit_pair = jnp.where(
-                        oh_gc & _col(use_gc_i),
-                        jnp.broadcast_to(new_p[:, None], (B, 256)),
-                        lit_pair)
-                else:
-                    comb = jnp.where(
-                        oh, jnp.broadcast_to(new_p[:, None], (B, 256)),
-                        comb)
-                rng = jnp.where(act, jnp.where(b_i, bound, rng - bound),
-                                rng)
-                code = jnp.where(act & ~b_i, code - bound, code)
-                if ibit == 0:
-                    bit = b_i
-                nnode = jnp.where(act, nnode * 2 + jnp.where(b_i, 1, 0),
-                                  nnode)
-                if ibit == 0 and KBITS > 1:
-                    # FLAG1(bit=0) chains into the literal tree
-                    lit_chain = flag1_lit_ok & ~b_i
-                    nnode = jnp.where(lit_chain, 1, nnode)
-                    gc_cls = (uses_grp & is_bit) | lit_chain
-                    comb = jnp.where(
-                        _col(gc_cls), lit_pair,
-                        jnp.concatenate([small_win, small_win], axis=1))
-              if KBITS > 1:
-                  # split the merged window back
-                  lit_pair = jnp.where(_col(gc_cls), comb, lit_pair)
-                  small_win = jnp.where(_col(use_small & ~gc_cls),
-                                        comb[:, :128], small_win)
-              return (rng, code, rc_ptrc, rc_blk, bit, nnode, small_win,
-                      lit_pair, lit_chain)
-
-            kres = _kloop(g("rc_range"), g("rc_code"), rc_ptr,
-                          g("rc_blk"), node, small_win, lit_pair)
-            if "bits" in _DUP:
-                kres2 = _kloop(g("rc_range") + dz, g("rc_code"), rc_ptr,
-                               g("rc_blk"), node, small_win, lit_pair)
-                kres = tuple(jnp.where(dz != 0, r2, r)
-                             for r, r2 in zip(kres, kres2))
-            (rng, code, rc_ptrc, rc_blk, bit, nnode, small_win,
-             lit_pair, lit_chain) = kres
-            use_gc2 = use_gc | lit_chain
-
-            def _wb_pair(_):
-                ohg = _row_onehot(gsub_lit, TS) & _col(use_gc2)
-                for s in range(TS):
-                    lo_m = ohg[:, s:s + 1]
-                    hi_m = (ohg[:, s - 1:s]
-                            if s > 0 else jnp.zeros((B, 1), jnp.bool_))
-                    grp[:, s, :] = jnp.where(
-                        lo_m, lit_pair[:, :128],
-                        jnp.where(hi_m, lit_pair[:, 128:],
-                                  grp[:, s, :]))
+            def _wb_probs(_):
+                ohp = jnp.stack([
+                    _row_onehot(lo_row, NP_ROWS).astype(jnp.float32),
+                    _row_onehot(hi_row, NP_ROWS).astype(jnp.float32),
+                    _row_onehot(exrow_wb, NP_ROWS).astype(jnp.float32),
+                ], axis=1)                               # [B,3,NP_ROWS]
+                dparts = jnp.stack([probsA[:, :128], probsA[:, 128:],
+                                    probsB[:, :128]], axis=1)  # [B,3,128]
+                upd_p = jax.lax.dot_general(
+                    ohp, dparts, (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                probs[:, :, :] = probs[:, :, :] + upd_p
                 return 0
-            jax.lax.cond(jnp.any(use_gc2), _wb_pair, lambda _: 0, 0)
-            if "wb" in _DUP:
-                jax.lax.cond(jnp.any(use_gc2), _wb_pair, lambda _: 0, dz)
 
-            def _wb_small(_):
-                ohr = _row_onehot(win_row, NP_ROWS) & _col(use_small)
-                for s in range(NP_ROWS):
-                    probs[:, s, :] = jnp.where(
-                        ohr[:, s:s + 1], small_win, probs[:, s, :])
-                return 0
-            jax.lax.cond(jnp.any(use_small), _wb_small, lambda _: 0, 0)
+            jax.lax.cond(jnp.any(need_small & is_bit), _wb_probs,
+                         lambda _: 0, 0)
             if "wb" in _DUP:
-                jax.lax.cond(jnp.any(use_small), _wb_small,
+                jax.lax.cond(jnp.any(need_small & is_bit), _wb_probs,
                              lambda _: 0, dz)
-            rc_ptr2 = rc_ptrc
+
+            use_gc2 = use_gc | sw1
+
+            def _wb_grp(_):
+                ohg = jnp.stack([
+                    _row_onehot(gsub_lit, TS).astype(jnp.float32),
+                    _row_onehot(gsub_lit + 1, TS).astype(jnp.float32),
+                ], axis=1)                               # [B,2,TS]
+                dg = jnp.stack([grp_delta[:, :128], grp_delta[:, 128:]],
+                               axis=1)                   # [B,2,128]
+                upd_g = jax.lax.dot_general(
+                    ohg, dg, (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                grp[:, :, :] = grp[:, :, :] + upd_g
+                return 0
+
+            jax.lax.cond(jnp.any(use_gc2), _wb_grp, lambda _: 0, 0)
+            if "wb" in _DUP:
+                jax.lax.cond(jnp.any(use_gc2), _wb_grp, lambda _: 0, dz)
+            rc_ptr2 = rcp
+
+            # post-loop exit masks (transition dispatch below)
+            lit_chain = sw1
+            exitk = jnp.where(is_bit, exitk, EX_NONE)
+            # fused direct bits: entry-DISTSLOT matches with 4<eb<=20
+            # read their high dist bits from the bc stream THIS step (the
+            # rc slot+nibble order matches the encoder; rc and bc are
+            # independent substreams, csc_memio.cpp:83-108)
+            fuse_dir = (exitk == EX_MATCH) & xwait & (slv > 2) & (ebv > 4)
 
             # =================== DIRECT micro-op =========================
+            # serves both dedicated DIRECT steps and the fused high-dist
+            # bits of a DISTSLOT step (fuse_dir; <=16 bits).  Framing
+            # block ids are derived lazily at chunk resets.
             direct_rem = g("direct_rem")
             size_rem = g("size_rem")
             two_phase = direct_rem > 16
@@ -664,13 +790,13 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                               jnp.where((size_rem >= 2)
                                         & ((wnd_pos & 127) != 127),
                                         16, 8), nbits)
-            nbits = jnp.where(is_dir, nbits, 0)
+            is_dird = is_dir | fuse_dir
+            nbits = jnp.where(fuse_dir, ebv - 4, nbits)
+            nbits = jnp.where(is_dird, nbits, 0)
 
             def _dir_read(poff=0):
                 bc_val_, bc_bits_ = g("bc_val"), g("bc_bits")
-                bc_ptr_, bc_blk_ = bc_ptr + poff, g("bc_blk")
-                bc_end = ends_gather(bc_ends_ref,
-                                     jnp.clip(bc_blk_, 0, NB - 1))
+                bc_ptr_ = bc_ptr + poff
                 # stage the next <=256 bc bytes once; the <=3 refill
                 # bytes all lie inside this pair (stall check guarantees
                 # bc_ptr+4 <= bc_base+TILE residency)
@@ -679,39 +805,35 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                 bc_pair = _tile_pair(bc_t, jnp.clip(boff0 >> 7, 0,
                                                     TS - 1))
                 for _ in range(3):
-                    need = is_dir & (bc_bits_ < nbits)
+                    need = is_dird & (bc_bits_ < nbits)
                     woffb = jnp.clip(bc_ptr_ - bwin_base, 0, 255)
                     bbyte = jnp.sum(jnp.where(
                         lane256 == woffb[:, None], bc_pair, 0), axis=1)
                     bc_val_ = jnp.where(need, ((bc_val_ << 8) | bbyte),
                                         bc_val_)
                     bc_ptr_ = jnp.where(need, bc_ptr_ + 1, bc_ptr_)
-                    bc_blk_ = jnp.where(need & (bc_ptr_ >= bc_end),
-                                        bc_blk_ + 1, bc_blk_)
-                    bc_end = ends_gather(bc_ends_ref,
-                                         jnp.clip(bc_blk_, 0, NB - 1))
                     bc_bits_ = jnp.where(need, bc_bits_ + 8, bc_bits_)
                 shift = jnp.maximum(bc_bits_ - nbits, 0)
                 msk = _i32((_u32(jnp.full_like(nbits, 1))
                             << _u32(nbits)) - 1)
-                dval_ = jnp.where(is_dir,
+                dval_ = jnp.where(is_dird,
                                   _i32(_u32(bc_val_) >> _u32(shift)) & msk,
                                   0)
-                bc_bits_ = jnp.where(is_dir, bc_bits_ - nbits, bc_bits_)
-                return dval_, bc_val_, bc_bits_, bc_ptr_, bc_blk_
+                bc_bits_ = jnp.where(is_dird, bc_bits_ - nbits, bc_bits_)
+                return dval_, bc_val_, bc_bits_, bc_ptr_
 
-            dval, bc_val, bc_bits, bc_ptr2, bc_blk = jax.lax.cond(
-                jnp.any(is_dir), _dir_read,
+            dval, bc_val, bc_bits, bc_ptr2 = jax.lax.cond(
+                jnp.any(is_dird), _dir_read,
                 lambda: (jnp.zeros((B,), jnp.int32), g("bc_val"),
-                         g("bc_bits"), bc_ptr, g("bc_blk")))
+                         g("bc_bits"), bc_ptr))
             if "dir" in _DUP:
                 dres = jax.lax.cond(
-                    jnp.any(is_dir), lambda: _dir_read(dz),
+                    jnp.any(is_dird), lambda: _dir_read(dz),
                     lambda: (jnp.zeros((B,), jnp.int32), g("bc_val"),
-                             g("bc_bits"), bc_ptr, g("bc_blk")))
-                (dval, bc_val, bc_bits, bc_ptr2, bc_blk) = tuple(
+                             g("bc_bits"), bc_ptr))
+                (dval, bc_val, bc_bits, bc_ptr2) = tuple(
                     jnp.where(dz != 0, b2, a) for a, b2 in zip(
-                        (dval, bc_val, bc_bits, bc_ptr2, bc_blk), dres))
+                        (dval, bc_val, bc_bits, bc_ptr2), dres))
 
             # =================== PRIME micro-op ==========================
             # read 4 big-endian code bytes at rc_ptr+1..+4 (csc_dec.cpp:340)
@@ -773,24 +895,32 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             reps = jnp.stack([g("rep0"), g("rep1"), g("rep2"), g("rep3")],
                              axis=1)
 
-            # --- FLAG1
-            c = is_bit & (fsm == F_FLAG1)
-            upd("fsm", c & bit, F_FLAG2)
-            upd("fsm", c & ~bit, F_LITTREE)
-            upd("node", c & ~bit, 1)
+            # ---- commit loop-carried token-decode registers
+            upd("len_for", is_bit, lf)
+            upd("len_acc", is_bit, la)
+            upd("len_phase", is_bit, lp)
+            upd("len_base", is_bit, lb)
+            upd("wire_len", is_bit, wlr)
+            upd("rep_idx", is_bit, ri)
+            upd("slot", is_bit, slv)
+            upd("ebits", is_bit, ebv)
 
-            # --- FLAG2
-            c = is_bit & (fsm == F_FLAG2)
-            cb = c & bit
-            upd("fsm", cb, F_LENSLOT0)
-            upd("len_for", cb, LF_MATCH)
-            upd("len_acc", cb, 0)
-            upd("len_phase", cb, 0)
-            upd("fsm", c & ~bit, F_FLAG3)
+            # --- EX_LIT: literal byte complete (csc_dec.cpp:513-521)
+            lit_done = exitk == EX_LIT
+            lit_byte = lit_b
+            upd("ctx", lit_done, lit_byte)
+            upd("mstate", lit_done, (g("mstate") * 4) & 0x3F)
+            upd("wnd_pos", lit_done, wnd_pos + 1)
+            upd("fsm", lit_done, F_FLAG1)
+            lit_write = lit_done
 
-            # --- FLAG3 (rep0len1, csc_dec.cpp:523-529)
-            c = is_bit & (fsm == F_FLAG3)
-            c0 = c & ~bit
+            # --- EX_LITP: literal group not resident; park + swap
+            c = exitk == EX_LITP
+            upd("fsm", c, F_LITTREE)
+            upd("node", c, 1)
+
+            # --- EX_R01: rep0len1 (csc_dec.cpp:523-529)
+            c0 = exitk == EX_R01
             rep0 = g("rep0")
             upd("mstate", c0, (g("mstate") * 4 + 2) & 0x3F)
             upd("dist", c0, rep0)
@@ -801,76 +931,19 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             upd("cpy_rem", c0, 1)
             upd("cpy_done", c0, 0)
             upd("fsm", c0, F_COPY)
-            cb = c & bit
-            upd("fsm", cb, F_REPTREE)
-            upd("node", cb, 1)
 
-            # --- LITTREE (including FLAG1 streams that chained this step)
-            # nnode accumulated by the K-bit loop above
-            c = (is_bit & (fsm == F_LITTREE)) | lit_chain
-            lit_done = c & (nnode >= 0x100)
-            lit_byte = nnode & 0xFF
-            upd("node", c, nnode)
-            upd("ctx", lit_done, lit_byte)
-            upd("mstate", lit_done, (g("mstate") * 4) & 0x3F)
-            upd("wnd_pos", lit_done, wnd_pos + 1)
-            upd("fsm", lit_done, F_FLAG1)
-            lit_write = lit_done
+            # --- EX_LEN7 / EX_LONG: next step continues the long trees
+            c = exitk == EX_LEN7
+            upd("fsm", c, F_LENTREE7)
+            upd("node", c, 1)
+            c = exitk == EX_LONG
+            upd("fsm", c, F_LONGLEN)
+            upd("node", c, 1)
 
-            # --- REPTREE
-            c = is_bit & (fsm == F_REPTREE)
-            rep_done = c & (nnode >= 4)
-            upd("node", c, nnode)
-            upd("rep_idx", rep_done, nnode & 3)
-            upd("fsm", rep_done, F_LENSLOT0)
-            upd("len_for", rep_done, LF_REP)
-            upd("len_acc", rep_done, 0)
-            upd("len_phase", rep_done, 0)
-
-            # --- LENSLOT0 / LENSLOT1
-            c = is_bit & (fsm == F_LENSLOT0)
-            cb = c & ~bit
-            upd("fsm", cb, F_LENTREE3)
-            upd("len_tbl", cb, 1)
-            upd("len_base", cb, 0)
-            upd("node", cb, 1)
-            upd("fsm", c & bit, F_LENSLOT1)
-            c = is_bit & (fsm == F_LENSLOT1)
-            cb = c & ~bit
-            upd("fsm", cb, F_LENTREE3)
-            upd("len_tbl", cb, 2)
-            upd("len_base", cb, 8)
-            upd("node", cb, 1)
-            cb = c & bit
-            upd("fsm", cb, F_LENTREE7)
-            upd("len_base", cb, 16)
-            upd("node", cb, 1)
-
-            # --- LENTREE3 / LENTREE7
-            c3 = is_bit & (fsm == F_LENTREE3)
-            c7 = is_bit & (fsm == F_LENTREE7)
-            done3 = c3 & (nnode >= 0x8)
-            done7 = c7 & (nnode >= 0x80)
-            upd("node", c3 | c7, nnode)
-            lenv = jnp.where(done3, g("len_base") + (nnode & 0x7),
-                             g("len_base") + (nnode & 0x7F))
-            len_complete = done3 | done7
-            goes_long = len_complete & (g("len_phase") == 0) & (lenv == 143)
-            upd("fsm", goes_long, F_LONGLEN)
-            upd("len_acc", goes_long, 143)
-            wl = jnp.where(g("len_phase") == 0, lenv, g("len_acc") + lenv)
-            len_done = len_complete & ~goes_long
-            upd("wire_len", len_done, wl)
-
-            # --- LONGLEN
-            c = is_bit & (fsm == F_LONGLEN)
-            upd("len_acc", c & ~bit, g("len_acc") + 143)
-            cb = c & bit
-            upd("fsm", cb, F_LENSLOT0)
-            upd("len_phase", cb, 1)
-
-            # --- len_done dispatch
-            ld_match = len_done & (g("len_for") == LF_MATCH)
+            # --- EX_LENDONE dispatch (match -> dist step; rep -> copy)
+            len_done = exitk == EX_LENDONE
+            wl = wlr
+            ld_match = len_done & (lf == LF_MATCH)
             upd("fsm", ld_match, F_DISTSLOT)
             upd("node", ld_match, 1)
             wl_c = jnp.minimum(wl, 6)
@@ -878,17 +951,16 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             upd("pdist_pos", ld_match, _lut(wl_c, _PPDIST_POS_NP))
             upd("sbits", ld_match, _lut(wl_c, _PDIST_BITS))
 
-            ld_rep = len_done & (g("len_for") == LF_REP)
+            ld_rep = len_done & (lf == LF_REP)
             upd("mstate", ld_rep, (g("mstate") * 4 + 3) & 0x3F)
-            rep_idx = g("rep_idx")
             rdist = jnp.sum(jnp.where(
                 jax.lax.broadcasted_iota(jnp.int32, (B, 4), 1)
-                == rep_idx[:, None], reps, 0), axis=1)
+                == ri[:, None], reps, 0), axis=1)
             # rotate reps[0..rep_idx] (csc_dec.cpp:538-541)
             shifted = jnp.concatenate([rdist[:, None], reps[:, :3]], axis=1)
             reps_rot = jnp.where(
                 jax.lax.broadcasted_iota(jnp.int32, (B, 4), 1)
-                <= rep_idx[:, None], shifted, reps)
+                <= ri[:, None], shifted, reps)
             for k in range(4):
                 upd(f"rep{k}", ld_rep, reps_rot[:, k])
             upd("dist", ld_rep, rdist)
@@ -901,39 +973,26 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
 
             # (LF_RLE unreachable: DT_DLT flagged unsupported)
 
-            # --- DISTSLOT
-            c = is_bit & (fsm == F_DISTSLOT)
-            sbits = g("sbits")
-            sdone = c & (nnode >= (1 << sbits))
-            upd("node", c, nnode)
-            slotv = nnode & ((1 << sbits) - 1)
-            upd("slot", sdone, slotv)
-            small = sdone & (slotv <= 2)
-            big = sdone & (slotv > 2)
-            eb = slotv - 2
-            upd("ebits", big, eb)
-            upd("elen", big, 0)
-            need_direct = big & (eb > 4)
-            upd("fsm", need_direct, F_DISTDIRECT)
-            upd("direct_rem", need_direct, eb - 4)
-            upd("direct_acc", need_direct, 0)
-            cb = big & ~need_direct
-            upd("fsm", cb, F_DISTEXTRA)
-            upd("node", cb, 1)
+            # --- EX_DDBIG: >16 direct high-dist bits, legacy 2-step path
+            c = exitk == EX_DDBIG
+            upd("fsm", c, F_DISTDIRECT)
+            upd("direct_rem", c, ebv - 4)
+            upd("direct_acc", c, 0)
+            upd("elen", c, 0)
 
-            # --- DISTEXTRA
-            c = is_bit & (fsm == F_DISTEXTRA)
-            edone = c & (nnode >= 0x10)
-            upd("node", c, nnode)
-            nib = nnode & 0xF
-            rev = (((nib & 1) << 3) | ((nib & 2) << 1)
-                   | ((nib & 4) >> 1) | ((nib & 8) >> 3))
-            dist_big = (_lut(jnp.clip(g("slot"), 0, 32), _DIST_TABLE_NP)
-                        + (g("elen") << 4) + rev)
-
-            # --- match_complete
-            mc = small | edone
-            dist_raw = jnp.where(small, slotv, dist_big)
+            # --- EX_MATCH: dist complete (csc_dec.cpp:234-281; high bits
+            # from the fused direct read this step, or the elen register
+            # on the legacy F_DISTDIRECT path)
+            mc = exitk == EX_MATCH
+            small = mc & (slv <= 2)
+            legacy_ex = mc & (fsm == F_DISTEXTRA) & (ebv > 4)
+            elen_v = jnp.where(fuse_dir, dval,
+                               jnp.where(legacy_ex, g("elen"), 0))
+            rev = (((nibv & 1) << 3) | ((nibv & 2) << 1)
+                   | ((nibv & 4) >> 1) | ((nibv & 8) >> 3))
+            dist_big = (_lut(jnp.clip(slv, 0, 32), _DIST_TABLE_NP)
+                        + (elen_v << 4) + rev)
+            dist_raw = jnp.where(small, slv, dist_big)
             upd("mstate", mc, (g("mstate") * 4 + 1) & 0x3F)
             sentinel = mc & (g("wire_len") == 0) & (dist_raw == 64)
             normal_match = mc & ~sentinel
@@ -951,11 +1010,9 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             upd("int_purpose", sentinel, IP_CONT)
             upd("direct_rem", sentinel, 5)
 
-            # --- ENTTREE (order-1 coded high-entropy block)
-            c = is_bit & (fsm == F_ENTTREE)
-            ent_done = c & (nnode >= 0x100)
-            upd("node", c, nnode)
-            ent_byte = nnode & 0xFF
+            # --- EX_ENT: one order-1 entropy byte
+            ent_done = exitk == EX_ENT
+            ent_byte = lit_b
             upd("ctx", ent_done, ent_byte)
             ent_write = ent_done
             upd("wnd_pos", ent_done, wnd_pos + 1)
@@ -1038,23 +1095,22 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
 
             upd("fsm", cdone & (ip == IP_SIZE_TXT), F_FLAG1)
 
-            # --- CONT (chunk reset, csc_dec.cpp:657-680)
+            # --- CONT (chunk reset, csc_dec.cpp:657-680).  The current
+            # framing-block id is derived LAZILY here — the refill paths
+            # no longer track it per byte: id = #{ends <= ptr}, identical
+            # to the old ptr>=end increment rule, consulted only here.
             ct = cdone & (ip == IP_CONT)
             reset = ct & (num == 1)
-            r_blk = rc_blk + 1
-            r_start = ends_gather(rc_ends_ref,
-                                  jnp.clip(jnp.maximum(r_blk - 1, 0),
-                                           0, NB - 1))
-            b_blk = bc_blk + 1
-            b_start = ends_gather(bc_ends_ref,
-                                  jnp.clip(jnp.maximum(b_blk - 1, 0),
-                                           0, NB - 1))
+            r_cnt = jnp.sum(_i32(rc_ends_ref[:] <= rc_ptr[:, None]),
+                            axis=1)
+            r_start = ends_gather(rc_ends_ref, jnp.clip(r_cnt, 0, NB - 1))
+            b_cnt = jnp.sum(_i32(bc_ends_ref[:] <= bc_ptr2[:, None]),
+                            axis=1)
+            b_start = ends_gather(bc_ends_ref, jnp.clip(b_cnt, 0, NB - 1))
             fin = ct & (g("eof") == 1)
             upd("done", fin, 1)
             upd("fsm", fin, F_IDLE)
             go_prime = reset & ~fin
-            upd("rc_blk", go_prime, r_blk)
-            upd("bc_blk", go_prime, b_blk)
             upd("fsm", go_prime, F_PRIME)
             to_int(ct & ~reset & ~fin, IP_BLOCKTYPE)
 
@@ -1195,22 +1251,18 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             upd("grp_key", swap_any, new_grp_key)
             upd("grp_slot", swap_any, new_slot)
 
-            new[_RI["rc_code"]] = jnp.where(is_bit, code,
+            new[_RI["rc_code"]] = jnp.where(is_bit, codev,
                                             new[_RI["rc_code"]])
-            new[_RI["rc_range"]] = jnp.where(is_bit, rng,
+            new[_RI["rc_range"]] = jnp.where(is_bit, rngv,
                                              new[_RI["rc_range"]])
             new[_RI["rc_ptr"]] = jnp.where(is_bit, rc_ptr2,
                                            new[_RI["rc_ptr"]])
-            new[_RI["rc_blk"]] = jnp.where(is_bit, rc_blk,
-                                           new[_RI["rc_blk"]])
-            new[_RI["bc_val"]] = jnp.where(is_dir, bc_val,
+            new[_RI["bc_val"]] = jnp.where(is_dird, bc_val,
                                            new[_RI["bc_val"]])
-            new[_RI["bc_bits"]] = jnp.where(is_dir, bc_bits,
+            new[_RI["bc_bits"]] = jnp.where(is_dird, bc_bits,
                                             new[_RI["bc_bits"]])
-            new[_RI["bc_ptr"]] = jnp.where(is_dir, bc_ptr2,
+            new[_RI["bc_ptr"]] = jnp.where(is_dird, bc_ptr2,
                                            new[_RI["bc_ptr"]])
-            new[_RI["bc_blk"]] = jnp.where(is_dir, bc_blk,
-                                           new[_RI["bc_blk"]])
             # chunk reset: jump both coder pointers to the next framing
             # block start (csc_dec.cpp:657-680; F_PRIME re-reads the code
             # bytes from rc_ptr+1..+4 next step).  Must come after the
@@ -1433,8 +1485,8 @@ def _run(B, NWS, NRCS, NBCS, NB, interpret,
     kernel = _make_kernel(B, NWS, NRCS, NBCS, NB)
     out_shapes = (
         jax.ShapeDtypeStruct((B, NWS, 128), jnp.int32),     # wnd (alias)
-        jax.ShapeDtypeStruct((B, 512, 128), jnp.int32),     # plit (alias)
-        jax.ShapeDtypeStruct((B, 512, 128), jnp.int32),     # pdlt (alias)
+        jax.ShapeDtypeStruct((B, 512, 128), jnp.float32),   # plit (alias)
+        jax.ShapeDtypeStruct((B, 512, 128), jnp.float32),   # pdlt (alias)
         jax.ShapeDtypeStruct((NR, B), jnp.int32),           # regs_out
         jax.ShapeDtypeStruct((B, 2 * NBLK_LOG), jnp.int32),  # blklog
         jax.ShapeDtypeStruct((1, 1), jnp.int32),            # steps
@@ -1460,8 +1512,8 @@ def _run(B, NWS, NRCS, NBCS, NB, interpret,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((B, NP_ROWS, 128), jnp.int32),       # probs
-            pltpu.VMEM((B, TS, 128), jnp.int32),            # grp
+            pltpu.VMEM((B, NP_ROWS, 128), jnp.float32),     # probs
+            pltpu.VMEM((B, TS, 128), jnp.float32),          # grp
             pltpu.VMEM((B, TS, 128), jnp.int32),            # out_t
             pltpu.VMEM((B, TS, 128), jnp.int32),            # rd_t
             pltpu.VMEM((B, TS, 128), jnp.int32),            # rc_t
@@ -1613,8 +1665,8 @@ def decode_batch_pallas(props_list, blobs, positions=None, out_sizes=None,
             regs[_RI["grp_key"], :] = -1
 
             wnd = jnp.zeros((gb, nw // 128, 128), jnp.int32)
-            plit = jnp.full((gb, 512, 128), 2048, jnp.int32)
-            pdlt = jnp.full((gb, 512, 128), 2048, jnp.int32)
+            plit = jnp.full((gb, 512, 128), 2048.0, jnp.float32)
+            pdlt = jnp.full((gb, 512, 128), 2048.0, jnp.float32)
             rc_d = _widen(jnp.asarray(rc_i[idx]), nrc // 128)
             bc_d = _widen(jnp.asarray(bc_i[idx]), nbc // 128)
             _timing = _os.environ.get("CSC_DECODE_TIMING")

@@ -74,8 +74,8 @@ regs[pd._RI["rd_base"], :] = -(1 << 20)
 regs[pd._RI["grp_key"], :] = -1
 
 wnd = jnp.zeros((B, nw // 128, 128), jnp.int32)
-plit = jnp.full((B, 512, 128), 2048, jnp.int32)
-pdlt = jnp.full((B, 512, 128), 2048, jnp.int32)
+plit = jnp.full((B, 512, 128), 2048.0, jnp.float32)
+pdlt = jnp.full((B, 512, 128), 2048.0, jnp.float32)
 rc_d = jnp.asarray(rc_i.reshape(B, nrc // 128, 128))
 bc_d = jnp.asarray(bc_i.reshape(B, nbc // 128, 128))
 re_d = jnp.asarray(re2); be_d = jnp.asarray(be2)
