@@ -411,14 +411,67 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             is_cpy = is_cpy0 & ~stall & ~bad_copy
             is_prm = is_prm0 & ~stall
 
+            dz = max_steps_ref[0, 0] >> 30          # runtime 0 (profiling)
+            dcol = jnp.full((B, 1), dz) != 0        # runtime False
+
+            # =================== COPY micro-op ===========================
+            # runs BEFORE the bit section: a copy that completes its last
+            # chunk this step chains straight into the next token's flag/
+            # len bits (fuse_tok), saving one lockstep step per match.
+            cl = jnp.minimum(jnp.minimum(cpy_rem, CH), avail)
+            cl = jnp.where(use_out, cl,
+                           jnp.minimum(cl, rd_base + TILE - src_eff))
+            # row caps: keep the read and the write each inside ONE
+            # 128-lane row; a crossing copy just takes another COPY step
+            cl = jnp.minimum(cl, 128 - (src_eff & 127))
+            cl = jnp.minimum(cl, 128 - (wnd_pos & 127))
+            cl = jnp.where(is_cpy, jnp.maximum(cl, 0), 0)
+            cfin = is_cpy & (cl > 0) & (cpy_rem - cl == 0)
+            # fuse only when the rc window already covers a full K-bit
+            # step; otherwise prefetch rc now so the token step that
+            # follows does not stall
+            rc_fuse_ok = (rc_ptr >= rc_base) & (rc_ptr + KBITS
+                                                <= rc_base + TILE)
+            fuse_tok = cfin & rc_fuse_ok
+            rc_pref = cfin & ~rc_fuse_ok
+            is_bit = is_bit | fuse_tok
+
+            def _copy_read():
+                osub = (src_eff >> 7) & (TS - 1)
+                row = _tile_one(out_t, osub)
+
+                def _with_rd():
+                    rsub = jnp.clip((src_eff - rd_base) >> 7, 0, TS - 1)
+                    return jnp.where(_col(use_out), row,
+                                     _tile_one(rd_t, rsub))
+                return jax.lax.cond(jnp.any(is_cpy & ~use_out),
+                                    _with_rd, lambda: row)
+
+            # raw (unrotated) source row; rotated into place by the
+            # single unified rotate in the window-write section
+            copy_row = jax.lax.cond(
+                jnp.any(is_cpy), _copy_read,
+                lambda: jnp.zeros((B, 128), jnp.int32))
+            if "copy" in _DUP:
+                copy_row = jnp.where(dcol, jax.lax.cond(
+                    jnp.any(is_cpy), _copy_read,
+                    lambda: jnp.zeros((B, 128), jnp.int32)), copy_row)
+
             # ---- request payload rows (ids are emitted compacted at the
-            # end of the step, once the flush mask is known)
-            req[RQ_RC_P, :] = jnp.clip((rc_ptr >> 10) << 3, 0, NRCS - 16)
-            req[RQ_BC_P, :] = jnp.clip((bc_ptr >> 10) << 3, 0, NBCS - 16)
+            # end of the step, once the flush mask is known).  Window
+            # bases are CLAMPED so the last fetch ends exactly at the
+            # HBM array end — the host pads rc/bc by only 8 bytes, not a
+            # full TILE (the axon tunnel is ~10-20 MB/s; padding is wall
+            # time).
+            rc_cbase = jnp.minimum((rc_ptr >> 10) << 10, (NRCS - 16) * 128)
+            bc_cbase = jnp.minimum((bc_ptr >> 10) << 10, (NBCS - 16) * 128)
+            req[RQ_RC_P, :] = jnp.clip(rc_cbase >> 7, 0, NRCS - 16)
+            req[RQ_BC_P, :] = jnp.clip(bc_cbase >> 7, 0, NBCS - 16)
             req[RQ_FETCH_P, :] = jnp.clip((src_eff >> 10) << 3, 0,
                                           NWS - 16)
-            new_rc_base = jnp.where(rc_miss, (rc_ptr >> 10) << 10, rc_base)
-            new_bc_base = jnp.where(bc_miss, (bc_ptr >> 10) << 10, bc_base)
+            rc_fetch = rc_miss | rc_pref
+            new_rc_base = jnp.where(rc_fetch, rc_cbase, rc_base)
+            new_bc_base = jnp.where(bc_miss, bc_cbase, bc_base)
             new_rd_base = jnp.where(rd_miss, (src_eff >> 10) << 10, rd_base)
             grp_slot = g("grp_slot")
             new_grp_key = jnp.where(grp_miss, want_key, grp_key)
@@ -446,15 +499,13 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             # writeback at B=128).  Framing-block ids are derived lazily
             # at chunk resets instead of per-refill (csc_memio semantics
             # are only consulted there).
-            dz = max_steps_ref[0, 0] >> 30          # runtime 0 (profiling)
-            dcol = jnp.full((B, 1), dz) != 0        # runtime False
-
             ebits0 = g("ebits")
             m8l = mstate8 & 127
             # per-entry-state window rows (wlo = lanes 0-127, whi = 128+)
             exrow0 = jnp.clip(8 + ((ebits0 - 1) >> 3), 8, NP_ROWS - 1)
             c4 = jnp.full_like(fsm, 4)
-            lo_row = jnp.where(fsm == F_FLAG1, mstate8 >> 7, c4)
+            entry_f1 = (fsm == F_FLAG1) | fuse_tok
+            lo_row = jnp.where(entry_f1, mstate8 >> 7, c4)
             hi_row = c4
             for _c, _lo in [(fsm == F_LENTREE7, jnp.full_like(fsm, 5)),
                             (fsm == F_DISTSLOT, jnp.full_like(fsm, 6)),
@@ -507,7 +558,7 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             baser = jnp.zeros_like(fsm)
             lim = jnp.full_like(fsm, 2)
             for _c, _p, _b, _l in [
-                    (fsm == F_FLAG1, PH_FLAG1, m8l - 1,
+                    (entry_f1, PH_FLAG1, m8l - 1,
                      jnp.full_like(fsm, 2)),
                     (fsm == F_LITTREE, PH_LIT, jnp.zeros_like(fsm),
                      jnp.full_like(fsm, 256)),
@@ -741,11 +792,9 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                 probs[:, :, :] = probs[:, :, :] + upd_p
                 return 0
 
+            # (no "wb" DUP hook: the add-writeback is not idempotent)
             jax.lax.cond(jnp.any(need_small & is_bit), _wb_probs,
                          lambda _: 0, 0)
-            if "wb" in _DUP:
-                jax.lax.cond(jnp.any(need_small & is_bit), _wb_probs,
-                             lambda _: 0, dz)
 
             use_gc2 = use_gc | sw1
 
@@ -763,8 +812,6 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                 return 0
 
             jax.lax.cond(jnp.any(use_gc2), _wb_grp, lambda _: 0, 0)
-            if "wb" in _DUP:
-                jax.lax.cond(jnp.any(use_gc2), _wb_grp, lambda _: 0, dz)
             rc_ptr2 = rcp
 
             # post-loop exit masks (transition dispatch below)
@@ -852,39 +899,6 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                 jnp.any(is_prm), _prime_read,
                 lambda: jnp.zeros((B,), jnp.int32))
 
-            # =================== COPY micro-op ===========================
-            cl = jnp.minimum(jnp.minimum(cpy_rem, CH), avail)
-            cl = jnp.where(use_out, cl,
-                           jnp.minimum(cl, rd_base + TILE - src_eff))
-            # row caps: keep the read and the write each inside ONE
-            # 128-lane row (single-row rot+select instead of a 256-lane
-            # pair); a crossing copy just takes another COPY step
-            cl = jnp.minimum(cl, 128 - (src_eff & 127))
-            cl = jnp.minimum(cl, 128 - (wnd_pos & 127))
-            # (src_eff>=out_lo guarantees out-ring residency; reads
-            #  below wnd_pos only, enforced by the avail cap)
-            cl = jnp.where(is_cpy, jnp.maximum(cl, 0), 0)
-
-            def _copy_read(off):
-                osub = (off >> 7) & (TS - 1)
-                rsub = jnp.clip((off - rd_base) >> 7, 0, TS - 1)
-                pairsub = jnp.where(use_out, osub, rsub)
-                row = _tile_one((out_t, rd_t), pairsub,
-                                use_first=use_out)
-                return _rot_left(row, off & 127, 128)
-
-            copy_chunk = jax.lax.cond(
-                jnp.any(is_cpy), lambda: _copy_read(src_eff),
-                lambda: jnp.zeros((B, 128), jnp.int32))
-            if "copy" in _DUP:
-                copy_chunk = jnp.where(dcol, jax.lax.cond(
-                    jnp.any(is_cpy), lambda: _copy_read(src_eff + dz),
-                    lambda: jnp.zeros((B, 128), jnp.int32)), copy_chunk)
-
-            # ---- unified window write (copy chunk OR literal/raw bytes)
-            # byte-write values are filled in by the transition section
-            # below; we compute masks after transitions.
-
             # =================== transitions =============================
             new = [rg[i] for i in range(NR)]
 
@@ -894,6 +908,27 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
 
             reps = jnp.stack([g("rep0"), g("rep1"), g("rep2"), g("rep3")],
                              axis=1)
+
+            # ---- COPY transitions first: fused streams chain into the
+            # next token's bits, whose exit handlers below override fsm
+            # and the copy registers (csc_dec.cpp:497-507 window copy)
+            c = is_cpy & (cl > 0)
+            upd("cpy_done", c, cpy_done + cl)
+            upd("wnd_pos", c, wnd_pos + cl)
+            ncrem = cpy_rem - cl
+            upd("cpy_rem", c, ncrem)
+            copy_done = cfin
+            last_byte = jnp.sum(jnp.where(
+                lane128 == jnp.clip((src_eff & 127) + cl - 1, 0,
+                                    127)[:, None],
+                copy_row, 0), axis=1)
+            upd("ctx", copy_done, last_byte)
+            upd("fsm", copy_done, F_FLAG1)
+            upd("err", bad_copy & (g("err") == 0), ERR_CORRUPT)
+            upd("done", bad_copy | (g("err") > 0), 1)
+            upd("fsm", bad_copy, F_IDLE)
+            # effective window position for this step's token setups
+            wnd_eff = wnd_pos + cl
 
             # ---- commit loop-carried token-decode registers
             upd("len_for", is_bit, lf)
@@ -925,9 +960,9 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             upd("mstate", c0, (g("mstate") * 4 + 2) & 0x3F)
             upd("dist", c0, rep0)
             # no-ring windows: wnd_pos <= rep0 is a corrupt stream
-            upd("err", c0 & (wnd_pos <= rep0) & (g("err") == 0),
+            upd("err", c0 & (wnd_eff <= rep0) & (g("err") == 0),
                 ERR_CORRUPT)
-            upd("cpy_src", c0, wnd_pos - rep0)
+            upd("cpy_src", c0, wnd_eff - rep0)
             upd("cpy_rem", c0, 1)
             upd("cpy_done", c0, 0)
             upd("fsm", c0, F_COPY)
@@ -964,9 +999,9 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             for k in range(4):
                 upd(f"rep{k}", ld_rep, reps_rot[:, k])
             upd("dist", ld_rep, rdist)
-            upd("err", ld_rep & ((rdist <= 0) | (rdist > wnd_pos))
+            upd("err", ld_rep & ((rdist <= 0) | (rdist > wnd_eff))
                 & (g("err") == 0), ERR_CORRUPT)
-            upd("cpy_src", ld_rep, wnd_pos - rdist)
+            upd("cpy_src", ld_rep, wnd_eff - rdist)
             upd("cpy_rem", ld_rep, wl + 2)
             upd("cpy_done", ld_rep, 0)
             upd("fsm", ld_rep, F_COPY)
@@ -998,11 +1033,11 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             normal_match = mc & ~sentinel
             nd = dist_raw + 1
             upd("dist", normal_match, nd)
-            upd("err", normal_match & (nd > wnd_pos) & (g("err") == 0),
+            upd("err", normal_match & (nd > wnd_eff) & (g("err") == 0),
                 ERR_CORRUPT)
             for k, v in enumerate([nd, reps[:, 0], reps[:, 1], reps[:, 2]]):
                 upd(f"rep{k}", normal_match, v)
-            upd("cpy_src", normal_match, wnd_pos - nd)
+            upd("cpy_src", normal_match, wnd_eff - nd)
             upd("cpy_rem", normal_match, g("wire_len") + 2)
             upd("cpy_done", normal_match, 0)
             upd("fsm", normal_match, F_COPY)
@@ -1136,22 +1171,6 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             to_int(c & (nszb == 0), IP_CONT)
             bad_write = c
 
-            # ================== COPY transitions =========================
-            c = is_cpy & (cl > 0)
-            upd("cpy_done", c, cpy_done + cl)
-            upd("wnd_pos", c, wnd_pos + cl)
-            ncrem = cpy_rem - cl
-            upd("cpy_rem", c, ncrem)
-            copy_done = c & (ncrem == 0)
-            last_byte = jnp.sum(jnp.where(
-                lane128 == jnp.clip(cl - 1, 0, 127)[:, None],
-                copy_chunk, 0), axis=1)
-            upd("ctx", copy_done, last_byte)
-            upd("fsm", copy_done, F_FLAG1)
-            upd("err", bad_copy & (g("err") == 0), ERR_CORRUPT)
-            upd("done", bad_copy | (g("err") > 0), 1)
-            upd("fsm", bad_copy, F_IDLE)
-
             # ================== PRIME transitions ========================
             upd("rc_code", is_prm, prime_code)
             upd("rc_range", is_prm, jnp.int32(-1))
@@ -1172,22 +1191,25 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                              jnp.where(bad_write, nwr,
                                        jnp.where(one_w, 1, 0)))
             wbase = wnd_pos  # position before advance
-            bytes_vec = jnp.where(_col(is_cpy & (cl > 0)), copy_chunk,
+            # ONE unified rotate positions both the (unrotated) copy-
+            # source row and the literal/raw bytes (staged at lanes 0/1)
+            dsub = (wbase >> 7) & (TS - 1)
+            dlane = wbase & 127
+            srcl = src_eff & 127
+            is_cw = is_cpy & (cl > 0)
+            shift = jnp.where(is_cw, (dlane - srcl) & 127, dlane)
+            bytes_pre = jnp.where(_col(is_cw), copy_row,
                                   jnp.where(lane128 == 0, b0[:, None],
                                             jnp.where(lane128 == 1,
                                                       bad_b1[:, None], 0)))
-            # position into the 2-row ring pair and write
-            dsub = (wbase >> 7) & (TS - 1)
-            dlane = wbase & 127
             wany = (wlen > 0)
 
             def _wnd_write(off):
                 # all writers are row-capped (copy cl, BADBYTES nwr at
                 # lane 127, 1-byte literals) -> single-row write
-                dlane_e = dlane + off
-                pos128 = _rot_right(bytes_vec, dlane_e, 128)
-                v = (lane128 >= dlane_e[:, None]) \
-                    & (lane128 < (dlane_e + wlen)[:, None])
+                pos128 = _rot_right(bytes_pre, (shift + off) & 127, 128)
+                v = (lane128 >= (dlane + off)[:, None]) \
+                    & (lane128 < (dlane + off + wlen)[:, None])
                 ohd = _row_onehot(dsub, TS) & _col(wany)
                 for s in range(TS):
                     m = v & ohd[:, s:s + 1]
@@ -1226,7 +1248,7 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             emit(RQ_FLUSH_IDS, flush_mask)
             emit(RQ_FETCH_IDS, rd_miss)
             emit(RQ_SWAP_IDS, swap_any)
-            emit(RQ_RC_IDS, rc_miss)
+            emit(RQ_RC_IDS, rc_fetch)
             emit(RQ_BC_IDS, bc_miss)
             if "emit" in _DUP:   # spare rows 13-15; service never reads them
                 emit(13, flush_mask ^ (dz != 0))
@@ -1237,15 +1259,15 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             # run to the step cap or overflow HBM; csc_dec.cpp:508-547)
             wnd_limit = NWS * 128 - 2 * TILE
             over = ((new[_RI["wnd_pos"]] > wnd_limit)
-                    | (rc_ptr + 5 > NRCS * 128 - TILE)
-                    | (bc_ptr + 4 > NBCS * 128 - TILE)) & live
+                    | (rc_ptr + 5 > NRCS * 128 - 8)
+                    | (bc_ptr + 4 > NBCS * 128 - 8)) & live
             upd("err", over & (g("err") == 0), ERR_CORRUPT)
             err_now = new[_RI["err"]] > 0
             upd("done", err_now, 1)
             upd("fsm", err_now & (new[_RI["err"]] == ERR_CORRUPT), F_IDLE)
 
             # commit pointer/base regs
-            upd("rc_base", rc_miss, new_rc_base)
+            upd("rc_base", rc_fetch, new_rc_base)
             upd("bc_base", bc_miss, new_bc_base)
             upd("rd_base", rd_miss, new_rd_base)
             upd("grp_key", swap_any, new_grp_key)
@@ -1540,6 +1562,31 @@ def _run(B, NWS, NRCS, NBCS, NB, interpret,
     )(max_steps, rc_ends, bc_ends, regs, rc_hbm, bc_hbm, wnd, plit, pdlt)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
+def _run_fused(B, NWS, NRCS, NBCS, NB, interpret, lmax,
+               max_steps, rc_ends, bc_ends, rc_u8, bc_u8):
+    """One-device-call decode: widen the u8 coder inputs, build the
+    window/prob/reg initial states, run the kernel, and pack the output
+    bytes — all inside a single jit (the axon tunnel costs ~24 ms per
+    device call, so every fused call is wall time saved)."""
+    rc_hbm = _widen(rc_u8, NRCS)
+    bc_hbm = _widen(bc_u8, NBCS)
+    wnd = jnp.zeros((B, NWS, 128), jnp.int32)
+    plit = jnp.full((B, 512, 128), 2048.0, jnp.float32)
+    pdlt = jnp.full((B, 512, 128), 2048.0, jnp.float32)
+    regs = jnp.zeros((NR, B), jnp.int32)
+    regs = regs.at[_RI["fsm"], :].set(F_PRIME)
+    for _r in ("rc_base", "bc_base", "rd_base"):
+        regs = regs.at[_RI[_r], :].set(-(1 << 20))
+    regs = regs.at[_RI["grp_key"], :].set(-1)
+    outs = _run(B, NWS, NRCS, NBCS, NB, interpret,
+                max_steps, rc_ends, bc_ends, regs, rc_hbm, bc_hbm,
+                wnd, plit, pdlt)
+    wnd_o, _, _, regs_o, blklog, steps = outs
+    packed = _pack_bytes(wnd_o, lmax)
+    return packed, regs_o, blklog, steps
+
+
 def _bucket(n, lo=1024):
     b = lo
     while b < n:
@@ -1606,8 +1653,8 @@ def decode_batch_pallas(props_list, blobs, positions=None, out_sizes=None,
     be2 = np.full((b, nb), 0x7FFFFFFF, np.int32)
     be2[:, :bc_ends.shape[1]] = bc_ends
 
-    nrc = _bucket15(rc.shape[1] + TILE + 8)
-    nbc = _bucket15(bc.shape[1] + TILE + 8)
+    nrc = _bucket15(rc.shape[1] + 8, 2048)
+    nbc = _bucket15(bc.shape[1] + 8, 2048)
     # ship coder inputs as u8 and widen to byte-per-i32-lane on device:
     # the axon tunnel is bandwidth-bound (~20 MB/s), so 4x fewer wire
     # bytes is 4x less transfer wall time
@@ -1657,36 +1704,19 @@ def decode_batch_pallas(props_list, blobs, positions=None, out_sizes=None,
         handles = []
         for idx in groups:
             gb = len(idx)
-            regs = np.zeros((NR, gb), np.int32)
-            regs[_RI["fsm"], :] = F_PRIME
-            regs[_RI["rc_base"], :] = -(1 << 20)
-            regs[_RI["bc_base"], :] = -(1 << 20)
-            regs[_RI["rd_base"], :] = -(1 << 20)
-            regs[_RI["grp_key"], :] = -1
-
-            wnd = jnp.zeros((gb, nw // 128, 128), jnp.int32)
-            plit = jnp.full((gb, 512, 128), 2048.0, jnp.float32)
-            pdlt = jnp.full((gb, 512, 128), 2048.0, jnp.float32)
-            rc_d = _widen(jnp.asarray(rc_i[idx]), nrc // 128)
-            bc_d = _widen(jnp.asarray(bc_i[idx]), nbc // 128)
             _timing = _os.environ.get("CSC_DECODE_TIMING")
             if _timing:
-                rc_d.block_until_ready()
-                bc_d.block_until_ready()
                 _t0 = __import__("time").time()
-            outs = _run(gb, nw // 128, nrc // 128, nbc // 128, nb,
-                        bool(interpret),
-                        jnp.asarray(ms), jnp.asarray(re2[idx]),
-                        jnp.asarray(be2[idx]), jnp.asarray(regs),
-                        rc_d, bc_d, wnd, plit, pdlt)
-            wnd_o, _, _, regs_o, blklog, steps = outs
+            packed, regs_o, blklog, steps = _run_fused(
+                gb, nw // 128, nrc // 128, nbc // 128, nb,
+                bool(interpret), lmax,
+                jnp.asarray(ms), jnp.asarray(re2[idx]),
+                jnp.asarray(be2[idx]), jnp.asarray(rc_i[idx]),
+                jnp.asarray(bc_i[idx]))
             if _timing:
                 regs_o.block_until_ready()
                 global LAST_KERNEL_SECONDS
                 LAST_KERNEL_SECONDS = __import__("time").time() - _t0
-            # dispatch the pack now so it runs before the NEXT group's
-            # kernel; lmax is window-capacity-based (static)
-            packed = _pack_bytes(wnd_o, lmax)
             handles.append((idx, regs_o, blklog, packed, steps))
 
         regrow = False

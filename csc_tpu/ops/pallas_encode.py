@@ -34,8 +34,11 @@ from .encode_scan import K_LIT, K_MATCH, K_REP, K_REP0L1, K_END
 from .encode_bits import (K_INT, K_SENT, K_FLUSH, K_RAW, K_ELIT, K_DLIT,
                           K_RLEN)
 from .pallas_decode import (_col, _u32, _i32, _ult, _tile_pair, _tile_gather,
-                            _row_onehot, _lut, _bucket, NP_ROWS, TS, BLK,
-                            TILE)
+                            _tile_one, _row_onehot, _lut, _bucket, NP_ROWS,
+                            TS, BLK, TILE, _PPDIST_POS_NP,
+                            PH_FLAG1, PH_FLAG2, PH_FLAG3, PH_REP, PH_SLOT0,
+                            PH_SLOT1, PH_TREE3, PH_TREE7, PH_LONG, PH_LIT,
+                            PH_DSLOT, PH_DEXTRA, PH_HALT)
 
 # fsm ids (mirror encode_bits.py B_*)
 F_DONE = 0
@@ -57,6 +60,13 @@ F_DLITTREE = 15   # CompressRLE literal via p_delta[s_ctx] (:493-499)
 
 _DIST_TABLE_NP = np.array(DIST_TABLE, np.int64)
 _REV16_NP = np.array(REV16_TABLE, np.int32)
+
+# encode-side extra chained phases + exit kinds (the decode PH_* ids are
+# reused; bit values are token-driven via the bseq shift register)
+PH_RLEF, PH_DLIT = 13, 14
+EX_LIT, EX_DLIT, EX_LITP, EX_DLITP, EX_R01 = 1, 2, 3, 4, 5
+EX_LENM, EX_LENR, EX_LENRLE, EX_LEN7 = 6, 7, 8, 9
+EX_LONG, EX_LONGM, EX_MATCH, EX_DDBIG = 10, 11, 12, 13
 
 NBLKMAP = 64        # 64KB-boundary events per substream
 NCHUNK = 64         # chunk flush log entries
@@ -121,7 +131,7 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
         slot_bb = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
         src_bb = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
 
-        probs[:] = jnp.full((B, NP_ROWS, 128), 2048, jnp.int32)
+        probs[:] = jnp.full((B, NP_ROWS, 128), 2048.0, jnp.float32)
         rcmap_ref[:] = jnp.zeros((B, NBLKMAP), jnp.int32)
         bcmap_ref[:] = jnp.zeros((B, NBLKMAP), jnp.int32)
         clog_ref[:] = jnp.zeros((B, 2 * NCHUNK), jnp.int32)
@@ -148,22 +158,31 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
             jax.lax.cond(jnp.any(mask), then, els, 0)
 
         # ---------------- vector phase --------------------------------
+        # Round-4 chained design (mirrors pallas_decode): one lockstep
+        # step drives a stream across MULTIPLE probability trees.  The
+        # bit values are TOKEN-DRIVEN (no data dependence), held in a
+        # 16-bit left-aligned shift register (bseq); the cell walk uses
+        # the same heap mechanics as the decoder (idx = base + node).
+        # Probability adaptation is deferred into a delta window and
+        # flushed once per step via MXU outer products; the probs tile
+        # uses the decoder's PADDED row layout (every tree inside one
+        # 128-lane row), which is kernel-internal.
+        # Step classes: token step (F_NEXT: fetch + flags + len trees,
+        # or literal tree), dist step (F_DISTSLOT: slot + restaged extra
+        # nibble + <=16 fused direct bc bits), tree7/longlen/rle steps,
+        # plus the non-bit F_INT / F_RAW / F_FLUSH / F_DISTDIRECT ops.
         def vstep(rg):
             g = lambda n: rg[_RI[n]]
             fsm = g("fsm")
             live = (g("done") == 0)
-            mstate3 = g("mstate") * 3
+            mstate8 = g("mstate") * 8
+            m8l = mstate8 & 127
             ctx = g("ctx")
-            kind = g("kind")
             bsize = bsize_ref[0, 0]
 
             _false = jnp.zeros((B,), jnp.int32) != 0
             _true = ~_false
-            is_bitst = _false
-            for f in _BIT_STATES:
-                is_bitst = is_bitst | (fsm == f)
-            # a pending carry run blocks every state until drained
-            # (encode_bits.py: active = alive & pending == 0)
+            _z = jnp.zeros((B,), jnp.int32)
             quiet = g("pending") == 0
             is_next0 = live & quiet & (fsm == F_NEXT)
             is_int = live & quiet & (fsm == F_INT)
@@ -171,69 +190,91 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
             is_dird = live & quiet & (fsm == F_DISTDIRECT)
             is_flush = live & quiet & (fsm == F_FLUSH)
 
-            # ---- resource checks -> stalls + requests
-            # token tile residency (4 lanes per token)
+            # ---- token fetch (fused into the bit step)
             tok_base = g("tok_base")
             tlane = g("tok_i") * 4
             tok_miss = is_next0 & ((tlane < tok_base)
                                    | (tlane + 4 > tok_base + TILE))
-            # literal group residency: LITTREE uses p_lit[ctx]; DLITTREE
-            # uses p_delta[s_ctx] = vb (keys 64-127 of the shared table)
+            is_tok = is_next0 & ~tok_miss
+
+            def _tok_fetch():
+                # one staged row + 4 static-window gathers (tokens are
+                # 4-lane aligned, so all 4 lanes share a row)
+                toff = tlane - tok_base
+                row = _tile_one(tok_t, jnp.clip(toff >> 7, 0, TS - 1))
+                base = toff & 127
+                vals = []
+                for k in range(4):
+                    oh = (jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
+                          == (base + k)[:, None])
+                    vals.append(jnp.sum(jnp.where(oh, row, 0), axis=1))
+                return tuple(vals)
+
+            kf, af, bf, cf = jax.lax.cond(
+                jnp.any(is_tok), _tok_fetch,
+                lambda: (_z,) * 4)
+            kind_e = jnp.where(is_tok, kf, g("kind"))
+            va_e = jnp.where(is_tok, af, g("va"))
+            vb_e = jnp.where(is_tok, bf, g("vb"))
+            vc_e = jnp.where(is_tok, cf, g("vc"))
+
+            k_lit = kind_e == K_LIT
+            k_ms = (kind_e == K_MATCH) | (kind_e == K_SENT)
+            k_rep = kind_e == K_REP
+            k_r01 = kind_e == K_REP0L1
+            k_el = kind_e == K_ELIT
+            tok_bits = is_tok & (k_lit | k_ms | k_rep | k_r01 | k_el)
+
+            # ---- literal/delta group residency
             grp_key = g("grp_key")
             grp_slot = g("grp_slot")
-            is_dlt_t = fsm == F_DLITTREE
-            uses_grp = (fsm == F_LITTREE) | is_dlt_t
-            gctx = jnp.where(is_dlt_t, g("vb"), ctx)
-            want_key = (gctx >> 2) + jnp.where(is_dlt_t, 64, 0)
-            grp_miss = live & is_bitst & uses_grp & (grp_key != want_key)
+            is_dlt_leg = fsm == F_DLITTREE
+            is_rlef = live & quiet & (fsm == F_RLEFLAG)
+            rlef_dlit = is_rlef & (kind_e == K_DLIT)
+            gctx = jnp.where(is_dlt_leg | rlef_dlit, vb_e, ctx)
+            want_key = (gctx >> 2) + jnp.where(is_dlt_leg | rlef_dlit,
+                                               64, 0)
+            uses_grp_st = (fsm == F_LITTREE) | is_dlt_leg
+            grp_miss = live & quiet & uses_grp_st & (grp_key != want_key)
+            grp_ok = grp_key == want_key      # vs this step's want
 
-            stall = tok_miss | grp_miss
-            is_bit = live & is_bitst & ~stall
-            is_next = is_next0 & ~stall
+            # bit-capable entry states (mid-token continuations)
+            entry_bit = live & quiet & ~grp_miss & (
+                (fsm == F_LITTREE) | is_dlt_leg | (fsm == F_RLEFLAG)
+                | (fsm == F_LENTREE) | (fsm == F_LONGLEN)
+                | (fsm == F_DISTSLOT) | (fsm == F_DISTEXTRA))
+            is_bit = entry_bit | tok_bits
+            xwait = fsm == F_DISTSLOT
 
             req[RQ_TOK_P, :] = jnp.clip((tlane >> 10) << 3, 0, NTS - 16)
             new_tok_base = jnp.where(tok_miss, (tlane >> 10) << 10,
                                      tok_base)
-            req[RQ_SWAP_NEW, :] = want_key
-            req[RQ_SWAP_OLD, :] = grp_key
-            new_slot = jnp.where(grp_miss, 1 - grp_slot, grp_slot)
-            req[RQ_SWAP_SLOT, :] = new_slot
-            new_grp_key = jnp.where(grp_miss, want_key, grp_key)
 
-            # ---- stage per-step register windows
-            # small-table window anchored by the bit-0 state
-            node0 = g("node")
-            base_small = jnp.zeros_like(node0)
-            for _c, _v in [
-                    (fsm == F_FLAG, P_STATE + mstate3),
-                    (fsm == F_REPTREE, P_REPDIST + mstate3),
-                    (fsm == F_LENSLOT, jnp.full_like(node0, P_MLSLOT)),
-                    (fsm == F_LENTREE,
-                     jnp.where(g("len_tbl") == 1, P_MLEX1,
-                               jnp.where(g("len_tbl") == 2, P_MLEX2,
-                                         P_MLEX3))),
-                    (fsm == F_LONGLEN, jnp.full_like(node0, P_LONGLEN)),
-                    (fsm == F_RLEFLAG, jnp.full_like(node0, P_RLEFLAG)),
-                    (fsm == F_DISTSLOT, P_DIST + g("pdist_pos")),
-                    (fsm == F_DISTEXTRA,
-                     P_MDEXTRA + (g("ebits") - 1) * 16)]:
-                base_small = jnp.where(_c, _v, base_small)
-            use_small0 = is_bit & ~uses_grp
-            use_gc0 = is_bit & uses_grp
-            win_base = base_small & ~127
-            win_row = jnp.clip(win_base >> 7, 0, NP_ROWS - 2)
-            small_pair = jax.lax.cond(
-                jnp.any(use_small0),
-                lambda: _tile_pair(probs, win_row, nrows=NP_ROWS),
-                lambda: jnp.zeros((B, 256), jnp.int32))
+            # ---- stage per-step windows (PADDED layout, f32 tiles)
+            ebits0 = g("ebits")
+            exrow0 = jnp.clip(8 + ((ebits0 - 1) >> 3), 8, NP_ROWS - 1)
+            c4 = jnp.full_like(fsm, 4)
+            entry_f1 = tok_bits & (k_lit | k_ms | k_rep | k_r01)
+            lo_row = jnp.where(entry_f1, mstate8 >> 7, c4)
+            hi_row = c4
+            for _c, _lo in [(fsm == F_LENTREE, jnp.full_like(fsm, 5)),
+                            (fsm == F_DISTSLOT, jnp.full_like(fsm, 6)),
+                            (fsm == F_DISTEXTRA, exrow0)]:
+                lo_row = jnp.where(_c, _lo, lo_row)
+                hi_row = jnp.where(_c, _lo, hi_row)
+            hi_row = jnp.where(fsm == F_DISTSLOT, 7, hi_row)
+
+            gc_entry = (uses_grp_st & ~grp_miss & live & quiet) \
+                | (is_tok & k_el & grp_ok)
+            elit_park = is_tok & k_el & ~grp_ok
+            lit_maybe = gc_entry | (tok_bits & k_lit & grp_ok) \
+                | (rlef_dlit & grp_ok)
             gsub_lit = grp_slot * 8 + (gctx & 3) * 2
 
             def _lit_pair_even():
-                # gsub_lit is always even: lo rows are the 8 even rows,
-                # hi rows the 8 odd ones — half the staging selects
                 oh = _row_onehot(gsub_lit >> 1, TS // 2)
-                lo = jnp.zeros((B, 128), jnp.int32)
-                hi = jnp.zeros((B, 128), jnp.int32)
+                lo = jnp.zeros((B, 128), jnp.float32)
+                hi = jnp.zeros((B, 128), jnp.float32)
                 for s in range(TS // 2):
                     lo = lo + jnp.where(oh[:, s:s + 1], grp[:, 2 * s, :], 0)
                     hi = hi + jnp.where(oh[:, s:s + 1],
@@ -241,8 +282,26 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
                 return jnp.concatenate([lo, hi], axis=1)
 
             lit_pair = jax.lax.cond(
-                jnp.any(use_gc0), _lit_pair_even,
-                lambda: jnp.zeros((B, 256), jnp.int32))
+                jnp.any(lit_maybe), _lit_pair_even,
+                lambda: jnp.zeros((B, 256), jnp.float32))
+
+            need_small = is_bit & ~gc_entry
+
+            def _stage_small():
+                ohlo = _row_onehot(lo_row, NP_ROWS)
+                ohhi = _row_onehot(hi_row, NP_ROWS)
+                lo = jnp.zeros((B, 128), jnp.float32)
+                hi = jnp.zeros((B, 128), jnp.float32)
+                for s in range(NP_ROWS):
+                    row = probs[:, s, :]
+                    lo = lo + jnp.where(ohlo[:, s:s + 1], row, 0)
+                    hi = hi + jnp.where(ohhi[:, s:s + 1], row, 0)
+                return jnp.concatenate([lo, hi], axis=1)
+
+            small_pair = jax.lax.cond(
+                jnp.any(need_small), _stage_small,
+                lambda: jnp.zeros((B, 256), jnp.float32))
+            comb = jnp.where(_col(gc_entry), lit_pair, small_pair)
 
             # rc/bc output windows (current partial content staged in)
             rc_cnt0 = g("rc_cnt")
@@ -252,7 +311,8 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
             rc_row = (rc_wbase >> 7) & (TS - 1)
             bc_row = (bc_wbase >> 7) & (TS - 1)
             may_rc = is_bit | is_flush | (live & (g("pending") > 0))
-            may_bc = is_int | is_dird | is_flush | is_raw
+            may_bc = is_int | is_dird | is_flush | is_raw \
+                | (is_bit & xwait)
             rc_pair = jax.lax.cond(
                 jnp.any(may_rc),
                 lambda: _tile_pair(rc_t, rc_row),
@@ -277,8 +337,7 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
             pending = g("pending")
             pend_carry = g("pend_carry")
 
-            def rc_emit(pair, cnt, byte, mask, other_cnt,
-                        midx, mval):
+            def rc_emit(pair, cnt, byte, mask, other_cnt, midx, mval):
                 """Append byte at cnt where mask; log 64KB crossings."""
                 oh = lane256 == jnp.where(mask, cnt - rc_wbase, -1)[:, None]
                 pair = jnp.where(oh, jnp.broadcast_to(byte[:, None],
@@ -291,48 +350,88 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
                 mval = jnp.where(crossed, other_cnt, mval)
                 return pair, ncnt, midx, mval
 
-            # ---------------- K-bit loop ------------------------------
-            flag_i = g("flag_i")
-            node = node0
-            bits_c = g("bits_c")
-            sub_i = g("sub_i")
-            len_left = g("len_left")
+            # ---- dist-step precompute (slot known at entry)
+            slot0 = g("slot")
+            big0 = slot0 > 2
+            eb0 = jnp.maximum(slot0 - 2, 1)
+            xlen0 = va_e - (1 << jnp.clip(eb0, 0, 30)) - 1
+            rev0 = _lut(xlen0 & 0xF, _REV16_NP)
+            exb0 = ((eb0 - 1) * 16) & 127
+
+            # ---- entry phase / tree params
+            pdp = g("pdist_pos")
+            sb0 = jnp.clip(g("sbits"), 0, 5)
             lenv = g("lenv")
-            sbits = g("sbits")
-            is_l3 = g("len_tbl") != 3
+            lph = g("len_phase")
+            after_len = g("after_len")
+            len_left = g("len_left")
+            len_tbl = g("len_tbl")
 
-            nflags = jnp.where(kind == K_LIT, 1,
-                               jnp.where((kind == K_MATCH)
-                                         | (kind == K_SENT), 2, 3))
-            state_open = _true
+            ph = jnp.full_like(fsm, PH_HALT)
+            baser = _z
+            lim = jnp.full_like(fsm, 2)
+            bseq = _z
+            exitk = jnp.where(elit_park, EX_LITP, 0)
 
+            def at_entry(c, p2, b2, l2, sq, nb):
+                nonlocal ph, baser, lim, bseq
+                ph = jnp.where(c, p2, ph)
+                baser = jnp.where(c, b2, baser)
+                lim = jnp.where(c, l2, lim)
+                bseq = jnp.where(c, (sq << (16 - nb)) & 0xFFFF, bseq)
+
+            two = jnp.full_like(fsm, 2)
+            at_entry(entry_f1, PH_FLAG1, m8l - 1, two,
+                     _i32(~k_lit), 1)
+            at_entry(gc_entry & (fsm == F_LITTREE), PH_LIT, _z,
+                     jnp.full_like(fsm, 256), va_e, 8)
+            at_entry(gc_entry & is_dlt_leg, PH_DLIT, _z,
+                     jnp.full_like(fsm, 256), va_e, 8)
+            at_entry(is_tok & k_el & grp_ok, PH_LIT, _z,
+                     jnp.full_like(fsm, 256), va_e, 8)
+            at_entry(is_rlef, PH_RLEF, jnp.full_like(fsm, 167), two,
+                     _i32(kind_e == K_RLEN), 1)
+            at_entry(live & quiet & (fsm == F_LENTREE), PH_TREE7, _z,
+                     jnp.full_like(fsm, 128), lenv - 16, 7)
+            at_entry(live & quiet & (fsm == F_LONGLEN), PH_LONG,
+                     jnp.full_like(fsm, 159), two,
+                     _i32(len_left <= 0), 1)
+            at_entry(live & quiet & (fsm == F_DISTSLOT), PH_DSLOT, pdp,
+                     1 << sb0, slot0, sb0)
+            at_entry(live & quiet & (fsm == F_DISTEXTRA), PH_DEXTRA,
+                     exb0, jnp.full_like(fsm, 16), rev0, 4)
+            ph = jnp.where(is_bit, ph, PH_HALT)
+
+            node = jnp.full_like(fsm, 1)
+            idxr = baser + 1
+            dacc = jnp.zeros((B, 256), jnp.float32)
+            snapA = jnp.zeros((B, 256), jnp.float32)
+            sw_mask = _false
+
+            # ---------------- K-bit chained loop ----------------------
             for ibit in range(KBITS):
-                # completion check from the running counters
-                open_now = _true
-                for _f, _cond in [
-                        (F_FLAG, flag_i < nflags),
-                        (F_LITTREE, node < 0x100),
-                        (F_DLITTREE, node < 0x100),
-                        (F_RLEFLAG, flag_i < 1),
-                        (F_REPTREE, sub_i < 2),
-                        (F_LENSLOT, ((lenv < 8) & (sub_i < 1))
-                         | ((lenv >= 8) & (sub_i < 2))),
-                        (F_LENTREE, (is_l3 & (node < 0x8))
-                         | (~is_l3 & (node < 0x80))),
-                        (F_LONGLEN, _true),
-                        (F_DISTSLOT, node < (1 << jnp.clip(sbits, 0, 5))),
-                        (F_DISTEXTRA, node < 0x10)]:
-                    open_now = ((open_now & (fsm != _f))
-                                | ((fsm == _f) & _cond))
-                state_open = state_open & open_now
-                # LONGLEN closes after emitting its 1-bit
-                lls_done = (fsm == F_LONGLEN) & (len_left < 0)
-                state_open = state_open & ~lls_done
-
-                drain = live & (pending > 0)
-                act = is_bit & state_open & (pending == 0)
+                act = is_bit & (ph != PH_HALT)
+                if ibit < 5:
+                    act = act & ~((ph == PH_DEXTRA) & xwait)
+                if ibit == 5:
+                    sw2 = (ph == PH_DEXTRA) & xwait & is_bit
+                    exrow2 = jnp.clip(8 + ((eb0 - 1) >> 3), 8,
+                                      NP_ROWS - 1)
+                    exw = jax.lax.cond(
+                        jnp.any(sw2),
+                        lambda: _tile_one(probs, exrow2, nrows=NP_ROWS),
+                        lambda: jnp.zeros((B, 128), jnp.float32))
+                    swc = _col(sw2)
+                    snapA = jnp.where(swc, dacc, snapA)
+                    dacc = jnp.where(swc, 0, dacc)
+                    comb = jnp.where(swc,
+                                     jnp.concatenate([exw, exw], axis=1),
+                                     comb)
+                    sw_mask = sw_mask | sw2
 
                 # serve pending carry-run bytes first (rare: carry runs)
+                drain = live & (pending > 0)
+
                 def _drain(args):
                     rp, rcn, mi, mv = args
                     run_byte = (0xFF + pend_carry) & 0xFF
@@ -343,74 +442,18 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
                     (rc_pair, rc_cnt, rcmap_idx, rcmap_val))
                 pending = jnp.where(drain, pending - 1, pending)
 
-                # driven bit value per state
-                bit = jnp.zeros((B,), jnp.int32)
-                flag_bit = jnp.where(
-                    kind == K_LIT, 0,
-                    jnp.where((kind == K_MATCH) | (kind == K_SENT), 1,
-                              jnp.where(kind == K_REP0L1,
-                                        jnp.where(flag_i == 0, 1, 0),
-                                        jnp.where(flag_i == 0, 1,
-                                                  jnp.where(flag_i == 1,
-                                                            0, 1)))))
-                for _f, _v in [
-                        (F_FLAG, flag_bit),
-                        (F_LITTREE, (bits_c >> 7) & 1),
-                        (F_DLITTREE, (bits_c >> 7) & 1),
-                        (F_RLEFLAG, jnp.where(kind == K_RLEN, 1, 0)),
-                        (F_REPTREE, jnp.where(sub_i == 0,
-                                              (g("va") >> 1) & 1,
-                                              g("va") & 1)),
-                        (F_LENSLOT, jnp.where(sub_i == 0,
-                                              jnp.where(lenv < 8, 0, 1),
-                                              jnp.where(lenv < 16, 0, 1))),
-                        (F_LENTREE, jnp.where(is_l3, (bits_c >> 2) & 1,
-                                              (bits_c >> 6) & 1)),
-                        (F_LONGLEN, jnp.where(len_left > 0, 0, 1)),
-                        (F_DISTSLOT,
-                         (bits_c >> jnp.clip(sbits - 1, 0, 30)) & 1),
-                        (F_DISTEXTRA, (bits_c >> 3) & 1)]:
-                    bit = jnp.where(fsm == _f, _v, bit)
-
-                # prob index within the staged windows
-                pidx = jnp.zeros_like(node)
-                for _f, _v in [
-                        (F_FLAG, P_STATE + mstate3 + flag_i),
-                        (F_RLEFLAG, jnp.full_like(node, P_RLEFLAG)),
-                        (F_REPTREE, P_REPDIST + mstate3 + node - 1),
-                        (F_LENSLOT, P_MLSLOT + sub_i),
-                        (F_LENTREE,
-                         jnp.where(g("len_tbl") == 1, P_MLEX1,
-                                   jnp.where(g("len_tbl") == 2, P_MLEX2,
-                                             P_MLEX3)) + node),
-                        (F_LONGLEN, jnp.full_like(node, P_LONGLEN)),
-                        (F_DISTSLOT, P_DIST + g("pdist_pos") + node),
-                        (F_DISTEXTRA,
-                         P_MDEXTRA + (g("ebits") - 1) * 16 + node)]:
-                    pidx = jnp.where(fsm == _f, _v, pidx)
-                use_small_i = act & ~uses_grp
-                use_gc_i = act & uses_grp
-                swoff = jnp.clip(pidx - win_base, 0, 255)
-                oh_small = lane256 == jnp.where(use_small_i, swoff,
-                                                -1)[:, None]
-                p_small = jnp.sum(jnp.where(oh_small, small_pair, 0),
-                                  axis=1)
-                oh_gc = lane256 == jnp.where(use_gc_i, node, 0)[:, None]
-                p_gc = jnp.sum(jnp.where(oh_gc, lit_pair, 0), axis=1)
-                p = jnp.where(use_gc_i, p_gc, p_small)
+                bitv = (bseq >> 15) & 1
+                # gather p (deferred adaptation)
+                ohm = lane256 == jnp.where(act, idxr, -1)[:, None]
+                p = _i32(jnp.sum(jnp.where(ohm, comb, 0), axis=1))
 
                 # EncodeBit (csc_coder.h:67-81)
                 bound = _i32(_u32(jnp.where(act, rng, 0)) >> 12) * p
-                bset = act & (bit == 1)
-                new_p = jnp.where(bset, p + ((0xFFF - p) >> 5),
-                                  p - (p >> 5))
-                small_pair = jnp.where(
-                    oh_small & _col(use_small_i),
-                    jnp.broadcast_to(new_p[:, None], (B, 256)),
-                    small_pair)
-                lit_pair = jnp.where(
-                    oh_gc & _col(use_gc_i),
-                    jnp.broadcast_to(new_p[:, None], (B, 256)), lit_pair)
+                bset = act & (bitv == 1)
+                dp = jnp.where(bset, (0xFFF - p) >> 5, -(p >> 5))
+                dacc = dacc + jnp.where(ohm,
+                                        dp.astype(jnp.float32)[:, None],
+                                        0)
                 rng = jnp.where(act, jnp.where(bset, bound, rng - bound),
                                 rng)
                 low_add = jnp.where(act & ~bset, bound, 0)
@@ -439,192 +482,270 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
                 low = jnp.where(renorm, low << 8, low)
                 lowhi = jnp.where(renorm, 0, lowhi)
 
-                # advance driven counters
-                flag_i = jnp.where(act & ((fsm == F_FLAG)
-                                          | (fsm == F_RLEFLAG)),
-                                   flag_i + 1, flag_i)
-                tree_sh = act & ((fsm == F_LITTREE) | (fsm == F_DLITTREE)
-                                 | (fsm == F_LENTREE)
-                                 | (fsm == F_DISTSLOT)
-                                 | (fsm == F_DISTEXTRA))
-                bits_c = jnp.where(tree_sh, (bits_c << 1) & 0x1FFFF,
-                                   bits_c)
-                tree_nd = tree_sh | (act & (fsm == F_REPTREE))
-                node = jnp.where(tree_nd, node * 2 + bit, node)
-                sub_i = jnp.where(act & ((fsm == F_REPTREE)
-                                         | (fsm == F_LENSLOT)),
-                                  sub_i + 1, sub_i)
-                dec_ll = act & (fsm == F_LONGLEN)
-                len_left = jnp.where(dec_ll, len_left - 1, len_left)
+                # ---- phase machinery (driven transitions)
+                bi = bitv
+                b_ = bitv == 1
+                node2 = node * 2 + bi
+                dn = act & (node2 >= lim)
+                nph, nbase, nlim = ph, baser, lim
+                nidxr = idxr * 2 - baser + bi
+                nnode = node2
+                nbseq = (bseq << 1) & 0xFFFF
 
-            # ---------------- transitions (once, on finals) -----------
+                def T(m, p2, b2, l2, sq, nb):
+                    nonlocal nph, nbase, nlim, nidxr, nnode, nbseq
+                    nph = jnp.where(m, p2, nph)
+                    nbase = jnp.where(m, b2, nbase)
+                    nlim = jnp.where(m, l2, nlim)
+                    nidxr = jnp.where(m, b2 + 1, nidxr)
+                    nnode = jnp.where(m, 1, nnode)
+                    nbseq = jnp.where(m, (sq << (16 - nb)) & 0xFFFF,
+                                      nbseq)
+
+                def H(m, ex):
+                    nonlocal nph, exitk
+                    nph = jnp.where(m, PH_HALT, nph)
+                    exitk = jnp.where(m, ex, exitk)
+
+                # FLAG1
+                m = dn & (ph == PH_FLAG1)
+                T(m & k_ms, PH_FLAG2, m8l, two, jnp.full_like(fsm, 1), 1)
+                T(m & (k_rep | k_r01), PH_FLAG2, m8l, two, _z, 1)
+                go_lit = m & k_lit & grp_ok
+                T(go_lit, PH_LIT, _z, jnp.full_like(fsm, 256), va_e, 8)
+                H(m & k_lit & ~grp_ok, EX_LITP)
+                # FLAG2
+                m = dn & (ph == PH_FLAG2)
+                mm = m & k_ms
+                lv0 = jnp.minimum(vb_e, 143)
+                lenv = jnp.where(mm, lv0, lenv)
+                after_len = jnp.where(mm, 1, after_len)
+                lph = jnp.where(mm, 0, lph)
+                T(mm, PH_SLOT0, jnp.full_like(fsm, 127), two,
+                  _i32(lv0 >= 8), 1)
+                T(m & k_rep, PH_FLAG3, m8l + 1, two,
+                  jnp.full_like(fsm, 1), 1)
+                T(m & k_r01, PH_FLAG3, m8l + 1, two, _z, 1)
+                # FLAG3
+                m = dn & (ph == PH_FLAG3)
+                T(m & k_rep, PH_REP, m8l + 3, jnp.full_like(fsm, 4),
+                  va_e & 3, 2)
+                H(m & k_r01, EX_R01)
+                # REPTREE
+                m = dn & (ph == PH_REP)
+                lvr = jnp.minimum(vb_e, 143)
+                lenv = jnp.where(m, lvr, lenv)
+                after_len = jnp.where(m, 0, after_len)
+                lph = jnp.where(m, 0, lph)
+                T(m, PH_SLOT0, jnp.full_like(fsm, 127), two,
+                  _i32(lvr >= 8), 1)
+                # RLEFLAG
+                m = dn & (ph == PH_RLEF)
+                md = m & (kind_e == K_DLIT)
+                T(md & grp_ok, PH_DLIT, _z, jnp.full_like(fsm, 256),
+                  va_e, 8)
+                H(md & ~grp_ok, EX_DLITP)
+                ml = m & (kind_e == K_RLEN)
+                lvl = jnp.minimum(vb_e, 143)
+                lenv = jnp.where(ml, lvl, lenv)
+                after_len = jnp.where(ml, 2, after_len)
+                lph = jnp.where(ml, 0, lph)
+                T(ml, PH_SLOT0, jnp.full_like(fsm, 127), two,
+                  _i32(lvl >= 8), 1)
+                # LENSLOT0 / LENSLOT1
+                m = dn & (ph == PH_SLOT0)
+                lo8 = lenv < 8
+                T(m & lo8, PH_TREE3, jnp.full_like(fsm, 144),
+                  jnp.full_like(fsm, 8), lenv, 3)
+                T(m & ~lo8, PH_SLOT1, jnp.full_like(fsm, 128), two,
+                  _i32(lenv >= 16), 1)
+                m = dn & (ph == PH_SLOT1)
+                lo16 = lenv < 16
+                T(m & lo16, PH_TREE3, jnp.full_like(fsm, 152),
+                  jnp.full_like(fsm, 8), lenv - 8, 3)
+                mh = m & ~lo16
+                len_tbl = jnp.where(mh, 3, len_tbl)
+                H(mh, EX_LEN7)
+                # TREE3 / TREE7 -> len complete
+                m3 = dn & (ph == PH_TREE3)
+                m7 = dn & (ph == PH_TREE7)
+                mlc = m3 | m7
+                was143 = (lph == 0) & (vb_e >= 143)
+                H(mlc & was143, EX_LONG)
+                fin = mlc & ~was143
+                H(fin & (after_len == 1), EX_LENM)
+                H(fin & (after_len == 0), EX_LENR)
+                H(fin & (after_len == 2), EX_LENRLE)
+                # LONGLEN (1 bit; 0 = run continues -> park, 1 = close)
+                m = dn & (ph == PH_LONG)
+                mz = m & ~b_
+                len_left = jnp.where(mz, len_left - 1, len_left)
+                H(mz, EX_LONGM)
+                mo = m & b_
+                rem = jnp.minimum((vb_e - 143) % 143, 143)
+                lenv = jnp.where(mo, rem, lenv)
+                lph = jnp.where(mo, 1, lph)
+                T(mo, PH_SLOT0, jnp.full_like(fsm, 127), two,
+                  _i32(rem >= 8), 1)
+                # LIT / DLIT
+                m = dn & (ph == PH_LIT)
+                H(m, EX_LIT)
+                m = dn & (ph == PH_DLIT)
+                H(m, EX_DLIT)
+                # DISTSLOT
+                m = dn & (ph == PH_DSLOT)
+                mfuse = m & big0 & (eb0 <= 20)
+                T(mfuse, PH_DEXTRA, exb0, jnp.full_like(fsm, 16),
+                  rev0, 4)
+                H(m & big0 & (eb0 > 20), EX_DDBIG)
+                H(m & ~big0, EX_MATCH)
+                # DISTEXTRA
+                m = dn & (ph == PH_DEXTRA)
+                H(m, EX_MATCH)
+
+                # commit
+                ph = nph
+                baser = jnp.where(act, nbase, baser)
+                lim = jnp.where(act, nlim, lim)
+                node = jnp.where(act, nnode, node)
+                idxr = jnp.where(act, nidxr, idxr)
+                bseq = jnp.where(act, nbseq, bseq)
+
+                if ibit == 0:
+                    # FLAG1/RLEF bit0 chains into the literal subtree
+                    sw1b = go_lit | (md & grp_ok)
+                    swc1 = _col(sw1b)
+                    snapA = jnp.where(swc1, dacc, snapA)
+                    dacc = jnp.where(swc1, 0, dacc)
+                    comb = jnp.where(swc1, lit_pair, comb)
+                    sw_mask = sw_mask | sw1b
+
+            # ---- flush deferred prob deltas via MXU outer products
+            sw_c = _col(sw_mask)
+            deltaA = jnp.where(sw_c, snapA, dacc)
+            deltaB = jnp.where(sw_c, dacc, jnp.zeros_like(dacc))
+            sw1m = sw_mask & ~xwait            # flag/rlef -> lit switch
+            sw2m = sw_mask & xwait             # dslot -> extra restage
+            gc_c = _col(gc_entry)
+            grp_delta = jnp.where(gc_c, deltaA,
+                                  jnp.where(_col(sw1m), deltaB, 0.0))
+            probsA = jnp.where(gc_c, 0.0, deltaA)
+            probsB = jnp.where(_col(sw2m), deltaB, 0.0)
+            exrow_wb = jnp.clip(8 + ((eb0 - 1) >> 3), 8, NP_ROWS - 1)
+
+            def _wb_probs(_):
+                ohp = jnp.stack([
+                    _row_onehot(lo_row, NP_ROWS).astype(jnp.float32),
+                    _row_onehot(hi_row, NP_ROWS).astype(jnp.float32),
+                    _row_onehot(exrow_wb, NP_ROWS).astype(jnp.float32),
+                ], axis=1)
+                dparts = jnp.stack([probsA[:, :128], probsA[:, 128:],
+                                    probsB[:, :128]], axis=1)
+                upd_p = jax.lax.dot_general(
+                    ohp, dparts, (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                probs[:, :, :] = probs[:, :, :] + upd_p
+                return 0
+
+            jax.lax.cond(jnp.any(need_small & is_bit), _wb_probs,
+                         lambda _: 0, 0)
+
+            use_gc2 = gc_entry | sw1m
+
+            def _wb_grp(_):
+                ohg = jnp.stack([
+                    _row_onehot(gsub_lit, TS).astype(jnp.float32),
+                    _row_onehot(gsub_lit + 1, TS).astype(jnp.float32),
+                ], axis=1)
+                dg = jnp.stack([grp_delta[:, :128], grp_delta[:, 128:]],
+                               axis=1)
+                upd_g = jax.lax.dot_general(
+                    ohg, dg, (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                grp[:, :, :] = grp[:, :, :] + upd_g
+                return 0
+
+            jax.lax.cond(jnp.any(use_gc2), _wb_grp, lambda _: 0, 0)
+
+            exitk = jnp.where(is_bit | elit_park, exitk, 0)
+
+            # ---------------- transitions (post-loop) -----------------
             new = [rg[i] for i in range(NR)]
 
             def upd(name, cond, val):
                 i = _RI[name]
                 new[i] = jnp.where(cond, val, new[i])
 
-            nnode = node
-            # FLAG done
-            c = is_bit & (fsm == F_FLAG) & (flag_i >= nflags)
-            fd_lit = c & (kind == K_LIT)
-            upd("fsm", fd_lit, F_LITTREE)
-            upd("node", fd_lit, 1)
-            upd("bits_c", fd_lit, g("va") | 0x100)
-            upd("mstate", fd_lit, (g("mstate") * 4) & 0x3F)
-            fd_r01 = c & (kind == K_REP0L1)
-            upd("mstate", fd_r01, (g("mstate") * 4 + 2) & 0x3F)
-            upd("ctx", fd_r01, g("vc"))
-            upd("fsm", fd_r01, F_NEXT)
-            fd_rep = c & (kind == K_REP)
-            upd("fsm", fd_rep, F_REPTREE)
-            upd("node", fd_rep, 1)
-            upd("sub_i", fd_rep, 0)
-            fd_match = c & ((kind == K_MATCH) | (kind == K_SENT))
-            upd("fsm", fd_match, F_LENSLOT)
-            upd("sub_i", fd_match, 0)
-            upd("after_len", fd_match, 1)
-            upd("len_phase", fd_match, 0)
-            upd("len_left", fd_match, 0)
-            upd("lenv", fd_match, jnp.minimum(g("vb"), 143))
-            upd("flag_i", is_bit & ((fsm == F_FLAG) | (fsm == F_RLEFLAG)),
-                flag_i)
+            # commit fetched token + counters
+            upd("tok_i", is_tok, g("tok_i") + 1)
+            upd("kind", is_tok, kind_e)
+            upd("va", is_tok, va_e)
+            upd("vb", is_tok, vb_e)
+            upd("vc", is_tok, vc_e)
+            upd("lenv", is_bit, lenv)
+            upd("len_phase", is_bit, lph)
+            upd("after_len", is_bit, after_len)
+            upd("len_left", is_bit, len_left)
+            upd("len_tbl", is_bit, len_tbl)
 
-            # RLEFLAG done: delta literal or run length
-            c = is_bit & (fsm == F_RLEFLAG) & (flag_i >= 1)
-            to_dlit = c & (kind == K_DLIT)
-            upd("fsm", to_dlit, F_DLITTREE)
-            upd("node", to_dlit, 1)
-            upd("bits_c", to_dlit, g("va") | 0x100)
-            to_rlen = c & (kind == K_RLEN)
-            upd("fsm", to_rlen, F_LENSLOT)
-            upd("sub_i", to_rlen, 0)
-            upd("after_len", to_rlen, 2)
-            upd("len_phase", to_rlen, 0)
-            upd("len_left", to_rlen, 0)
-            upd("lenv", to_rlen, jnp.minimum(g("vb"), 143))
-
-            # LITTREE
-            c = is_bit & (fsm == F_LITTREE)
-            upd("node", c, nnode)
-            upd("bits_c", c, bits_c)
-            lit_done = c & (nnode >= 0x100)
-            upd("ctx", lit_done, g("va"))
-            upd("fsm", lit_done, F_NEXT)
-
-            # DLITTREE: p_delta literal; model ctx/mstate untouched
-            c = is_bit & (fsm == F_DLITTREE)
-            upd("node", c, nnode)
-            upd("bits_c", c, bits_c)
-            dlit_done = c & (nnode >= 0x100)
-            upd("fsm", dlit_done, F_NEXT)
-
-            # REPTREE
-            c = is_bit & (fsm == F_REPTREE)
-            upd("node", c, nnode)
-            upd("sub_i", c, sub_i)
-            rep_done = c & (sub_i >= 2)
-            upd("fsm", rep_done, F_LENSLOT)
-            upd("sub_i", rep_done, 0)
-            upd("after_len", rep_done, 0)
-            upd("len_phase", rep_done, 0)
-            upd("len_left", rep_done, 0)
-            upd("lenv", rep_done, jnp.minimum(g("vb"), 143))
-
-            # LENSLOT
-            c = is_bit & (fsm == F_LENSLOT)
-            lv = lenv
-            slot_done = c & (((lv < 8) & (sub_i >= 1))
-                             | ((lv >= 8) & (sub_i >= 2)))
-            upd("sub_i", c, jnp.where(slot_done, sub_i, sub_i))
-            tbl = jnp.where(lv < 8, 1, jnp.where(lv < 16, 2, 3))
-            lbase = jnp.where(lv < 8, 0, jnp.where(lv < 16, 8, 16))
-            tree_c = jnp.where(tbl == 3, (lv - 16) | 0x80,
-                               (lv - lbase) | 0x08)
-            upd("len_tbl", slot_done, tbl)
-            upd("bits_c", slot_done, tree_c)
-            upd("node", slot_done, 1)
-            upd("fsm", slot_done, F_LENTREE)
-            upd("sub_i", c & ~slot_done, sub_i)
-
-            # LENTREE
-            c = is_bit & (fsm == F_LENTREE)
-            upd("node", c, nnode)
-            upd("bits_c", c, bits_c)
-            t_done = c & ((is_l3 & (nnode >= 0x8))
-                          | (~is_l3 & (nnode >= 0x80)))
-            was143 = (g("len_phase") == 0) & (g("vb") >= 143)
-            go_long = t_done & was143
-            upd("fsm", go_long, F_LONGLEN)
-            upd("len_left", go_long, (g("vb") - 143) // 143)
-            len_fin = t_done & ~was143
-            lf_rep = len_fin & (g("after_len") == 0)
-            upd("mstate", lf_rep, (g("mstate") * 4 + 3) & 0x3F)
-            upd("ctx", lf_rep, g("vc"))
-            upd("fsm", lf_rep, F_NEXT)
-            # RLE run length: no mstate/ctx updates (csc_model.cpp:492)
-            lf_rle = len_fin & (g("after_len") == 2)
-            upd("fsm", lf_rle, F_NEXT)
-            lf_match = len_fin & (g("after_len") == 1)
-            wl_c = jnp.minimum(g("vb"), 6)
-            upd("pdist_pos", lf_match, _lut(wl_c, _PDIST_POS))
-            upd("sbits", lf_match, _lut(wl_c, _PDIST_BITS))
-            dist = g("va")
-            # slot = index of the largest table entry <= dist
+            mst = g("mstate")
+            # EX_LIT: literal complete (ctx chain; mstate only for K_LIT)
+            c = exitk == EX_LIT
+            upd("ctx", c, va_e)
+            upd("mstate", c & k_lit, (mst * 4) & 0x3F)
+            upd("fsm", c, F_NEXT)
+            # EX_DLIT: delta literal (no model state, csc_model.cpp:493)
+            c = exitk == EX_DLIT
+            upd("fsm", c, F_NEXT)
+            # EX_LITP / EX_DLITP: group not resident -> park + swap
+            c = exitk == EX_LITP
+            upd("fsm", c, F_LITTREE)
+            upd("mstate", c & k_lit, (mst * 4) & 0x3F)
+            c = exitk == EX_DLITP
+            upd("fsm", c, F_DLITTREE)
+            # EX_R01
+            c = exitk == EX_R01
+            upd("mstate", c, (mst * 4 + 2) & 0x3F)
+            upd("ctx", c, vc_e)
+            upd("fsm", c, F_NEXT)
+            # EX_LENM: match len done -> dist step setup
+            c = exitk == EX_LENM
+            wl_c = jnp.minimum(vb_e, 6)
+            upd("pdist_pos", c, _lut(wl_c, _PPDIST_POS_NP))
+            upd("sbits", c, _lut(wl_c, _PDIST_BITS))
+            dist = va_e
             slotv = jnp.zeros_like(dist)
             for _k in range(1, 33):
                 slotv = jnp.where(dist >= int(_DIST_TABLE_NP[_k]), _k,
                                   slotv)
-            nsb = _lut(wl_c, _PDIST_BITS)
-            upd("slot", lf_match, slotv)
-            upd("node", lf_match, 1)
-            upd("bits_c", lf_match, slotv | (1 << jnp.clip(nsb, 0, 5)))
-            upd("fsm", lf_match, F_DISTSLOT)
-
-            # LONGLEN (one bit per K-loop pass; len_left went negative
-            # exactly when the closing 1-bit was emitted)
-            c = is_bit & (fsm == F_LONGLEN)
-            fin_l = c & (len_left < 0)
-            upd("len_left", c & ~fin_l, len_left)
-            rem = (g("vb") - 143) % 143
-            upd("len_phase", fin_l, 1)
-            upd("lenv", fin_l, jnp.minimum(rem, 143))
-            upd("sub_i", fin_l, 0)
-            upd("len_left", fin_l, 0)
-            upd("fsm", fin_l, F_LENSLOT)
-
-            # DISTSLOT
-            c = is_bit & (fsm == F_DISTSLOT)
-            upd("node", c, nnode)
-            upd("bits_c", c, bits_c)
-            ds_done = c & (nnode >= (1 << jnp.clip(sbits, 0, 5)))
-            small = ds_done & (g("slot") <= 2)
-            upd("mstate", small, (g("mstate") * 4 + 1) & 0x3F)
-            upd("ctx", small & (kind != K_SENT), g("vc"))
-            upd("fsm", small, F_NEXT)
-            big = ds_done & (g("slot") > 2)
-            ebits = jnp.maximum(g("slot") - 2, 1)
-            extra_len = g("va") - (1 << jnp.clip(ebits, 0, 30)) - 1
-            upd("ebits", big, ebits)
-            upd("elen", big, extra_len)
-            need_dir = big & (ebits > 4)
-            upd("dir_val", need_dir, extra_len >> 4)
-            upd("dir_rem", need_dir, ebits - 4)
-            upd("fsm", need_dir, F_DISTDIRECT)
-            go_ext = big & ~need_dir
-            rev = _lut(extra_len & 0xF, _REV16_NP)
-            upd("bits_c", go_ext, rev | 0x10)
-            upd("node", go_ext, 1)
-            upd("fsm", go_ext, F_DISTEXTRA)
-
-            # DISTEXTRA
-            c = is_bit & (fsm == F_DISTEXTRA)
-            upd("node", c, nnode)
-            upd("bits_c", c, bits_c)
-            de_done = c & (nnode >= 0x10)
-            upd("mstate", de_done, (g("mstate") * 4 + 1) & 0x3F)
-            upd("ctx", de_done & (kind != K_SENT), g("vc"))
-            upd("fsm", de_done, F_NEXT)
+            upd("slot", c, slotv)
+            upd("fsm", c, F_DISTSLOT)
+            # EX_LENR: rep len done
+            c = exitk == EX_LENR
+            upd("mstate", c, (mst * 4 + 3) & 0x3F)
+            upd("ctx", c, vc_e)
+            upd("fsm", c, F_NEXT)
+            # EX_LENRLE: RLE run length done
+            upd("fsm", exitk == EX_LENRLE, F_NEXT)
+            # EX_LEN7 / EX_LONG / EX_LONGM
+            upd("fsm", exitk == EX_LEN7, F_LENTREE)
+            c = exitk == EX_LONG
+            upd("fsm", c, F_LONGLEN)
+            upd("len_left", c, (vb_e - 143) // 143)
+            upd("fsm", exitk == EX_LONGM, F_LONGLEN)
+            # EX_MATCH: dist complete
+            c = exitk == EX_MATCH
+            upd("mstate", c, (mst * 4 + 1) & 0x3F)
+            upd("ctx", c & (kind_e != K_SENT), vc_e)
+            upd("fsm", c, F_NEXT)
+            fuse_dir = c & xwait & big0 & (eb0 > 4)
+            # EX_DDBIG: >16 direct high bits -> legacy 2-step path
+            c = exitk == EX_DDBIG
+            upd("ebits", c, eb0)
+            upd("elen", c, xlen0)
+            upd("dir_val", c, xlen0 >> 4)
+            upd("dir_rem", c, eb0 - 4)
+            upd("fsm", c, F_DISTDIRECT)
 
             # ---------------- bc micro-ops ----------------------------
             bcv = g("bc_val")
@@ -633,28 +754,29 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
 
             def enc_direct(mask, val, nbits):
                 # bit accumulation only; byte extraction is deferred to
-                # one GATED drain after all enc_direct calls (the bc
-                # states are rare — no [B,256] work on ordinary steps).
-                # Max 21 bits accrue per step, so bcb stays < 32.
+                # one GATED drain after all enc_direct calls.
                 nonlocal bcv, bcb
                 nv = _i32((_u32(bcv) << _u32(jnp.clip(nbits, 0, 31)))
                           | _u32(val))
                 bcv = jnp.where(mask, nv, bcv)
                 bcb = jnp.where(mask, bcb + nbits, bcb)
 
-            # DISTDIRECT
+            # fused dist-direct bits (high dist bits; <=16)
+            fd_val = (xlen0 >> 4) & ((1 << jnp.clip(eb0 - 4, 0, 16)) - 1)
+            enc_direct(fuse_dir, jnp.where(fuse_dir, fd_val, 0),
+                       jnp.where(fuse_dir, eb0 - 4, 0))
+
+            # DISTDIRECT (legacy, >16 high bits)
             c = is_dird
-            two = g("dir_rem") > 16
-            nbits = jnp.where(two, g("dir_rem") - 16, g("dir_rem"))
-            val = jnp.where(two, _i32(_u32(g("dir_val")) >> 16) & 0xFFFF,
+            two_d = g("dir_rem") > 16
+            nbits = jnp.where(two_d, g("dir_rem") - 16, g("dir_rem"))
+            val = jnp.where(two_d, _i32(_u32(g("dir_val")) >> 16) & 0xFFFF,
                             g("dir_val")
                             & ((1 << jnp.clip(nbits, 0, 30)) - 1))
             enc_direct(c, jnp.where(c, val, 0), jnp.where(c, nbits, 0))
-            upd("dir_rem", c & two, 16)
-            upd("dir_val", c & two, g("dir_val") & 0xFFFF)
-            dd_done = c & ~two
-            rev = _lut(g("elen") & 0xF, _REV16_NP)
-            upd("bits_c", dd_done, rev | 0x10)
+            upd("dir_rem", c & two_d, 16)
+            upd("dir_val", c & two_d, g("dir_val") & 0xFFFF)
+            dd_done = c & ~two_d
             upd("node", dd_done, 1)
             upd("fsm", dd_done, F_DISTEXTRA)
 
@@ -686,14 +808,13 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
             enc_direct(ph1, jnp.where(ph1, vv, 0), jnp.where(ph1, nb1, 0))
             upd("fsm", ph1, F_NEXT)
 
-            # deferred bc byte drain (gated: only steps where some
-            # stream ran a bc micro-op leave bcb >= 8)
+            # deferred bc byte drain (gated)
             def _bc_drain(args):
-                pair, cnt, mi, mv, b_ = args
+                pair, cnt, mi, mv, b2_ = args
                 for _ in range(3):
-                    e = b_ >= 8
+                    e = b2_ >= 8
                     byte = _i32(_u32(bcv)
-                                >> _u32(jnp.clip(b_ - 8, 0, 31))) & 0xFF
+                                >> _u32(jnp.clip(b2_ - 8, 0, 31))) & 0xFF
                     oh = lane256 == jnp.where(e, cnt - bc_wbase,
                                               -1)[:, None]
                     pair = jnp.where(
@@ -705,8 +826,8 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
                         crossed, jnp.clip(cnt // bsize - 1, 0,
                                           NBLKMAP - 1), mi)
                     mv = jnp.where(crossed, rc_cnt, mv)
-                    b_ = jnp.where(e, b_ - 8, b_)
-                return pair, cnt, mi, mv, b_
+                    b2_ = jnp.where(e, b2_ - 8, b2_)
+                return pair, cnt, mi, mv, b2_
 
             (bc_wr[0], bc_wr[1], bc_wr[2], bc_wr[3], bcb) = jax.lax.cond(
                 jnp.any(bcb >= 8), _bc_drain, lambda a: a,
@@ -786,51 +907,20 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
             bcb = jnp.where(fdone, 0, bcb)
             upd("fsm", fdone, F_NEXT)
 
-            # ---------------- F_NEXT: fetch token ---------------------
-            c = is_next
-
-            def _tok_fetch():
-                toff = tlane - tok_base
-                vals = []
-                for k in range(4):
-                    off = toff + k
-                    vals.append(_tile_gather(
-                        tok_t, jnp.clip(off >> 7, 0, TS - 1), off & 127))
-                return tuple(vals)
-
-            k_, a_, b_, c_ = jax.lax.cond(
-                jnp.any(c), _tok_fetch,
-                lambda: (jnp.zeros((B,), jnp.int32),) * 4)
-            upd("tok_i", c, g("tok_i") + 1)
-            upd("kind", c, k_)
-            upd("va", c, a_)
-            upd("vb", c, b_)
-            upd("vc", c, c_)
-            upd("flag_i", c, 0)
-            is_end = c & (k_ == K_END)
+            # ---------------- token-step non-bit kinds ----------------
+            is_end = is_tok & (kind_e == K_END)
             upd("done", is_end, 1)
             upd("fsm", is_end, F_DONE)
-            t_int = c & (k_ == K_INT)
+            t_int = is_tok & (kind_e == K_INT)
             upd("fsm", t_int, F_INT)
             upd("sub_i", t_int, 0)
-            t_fl = c & (k_ == K_FLUSH)
+            t_fl = is_tok & (kind_e == K_FLUSH)
             upd("fsm", t_fl, F_FLUSH)
             upd("flush_i", t_fl, 0)
-            t_raw = c & (k_ == K_RAW)
+            t_raw = is_tok & (kind_e == K_RAW)
             upd("fsm", t_raw, F_RAW)
-            # ELIT: straight into the literal tree, no LZ flags, mstate
-            # untouched (CompressLiterals, csc_model.cpp:448-461)
-            t_el = c & (k_ == K_ELIT)
-            upd("fsm", t_el, F_LITTREE)
-            upd("node", t_el, 1)
-            upd("bits_c", t_el, a_ | 0x100)
-            # DLIT/RLEN: CompressRLE tokens lead with the p_rle_flag bit
-            t_dl = c & ((k_ == K_DLIT) | (k_ == K_RLEN))
+            t_dl = is_tok & ((kind_e == K_DLIT) | (kind_e == K_RLEN))
             upd("fsm", t_dl, F_RLEFLAG)
-            t_tok = c & (k_ != K_END) & (k_ != K_INT) & (k_ != K_FLUSH) \
-                & (k_ != K_RAW) & (k_ != K_ELIT) & (k_ != K_DLIT) \
-                & (k_ != K_RLEN)
-            upd("fsm", t_tok, F_FLAG)
 
             # ---------------- write back staged windows ---------------
             bc_pair, bc_cnt, bcmap_idx, bcmap_val = bc_wr
@@ -849,8 +939,6 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
 
             _wb(rc_pair, rc_t, rc_row, may_rc)
             _wb(bc_pair, bc_t, bc_row, may_bc)
-            _wb(small_pair, probs, win_row, use_small0)
-            _wb(lit_pair, grp, gsub_lit, use_gc0)
 
             # crossing-map writes (rare)
             def _map_wr(ref, idx, val, lane):
@@ -880,10 +968,31 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
             req[RQ_BCFL_P, :] = bc_flushed
             upd("bc_flushed", bc_crossed, bc_flushed + 1)
 
+            # group swap requests: legacy stalls, parked literals, and
+            # ctx-change prefetch at token completion (the next literal
+            # step then chains without a stall)
+            new_ctx = new[_RI["ctx"]]
+            pf_key = new_ctx >> 2
+            ctx_set = (exitk == EX_LIT) | (exitk == EX_R01) \
+                | (exitk == EX_LENR) | (exitk == EX_MATCH)
+            park_want = jnp.where(exitk == EX_DLITP,
+                                  (vb_e >> 2) + 64, ctx >> 2)
+            parked = (exitk == EX_LITP) | (exitk == EX_DLITP)
+            prefetch = (ctx_set & (pf_key != grp_key) & live) \
+                | (parked & (park_want != grp_key))
+            swap_any = grp_miss | prefetch
+            want_eff = jnp.where(grp_miss, want_key,
+                                 jnp.where(parked, park_want, pf_key))
+            req[RQ_SWAP_NEW, :] = want_eff
+            req[RQ_SWAP_OLD, :] = grp_key
+            new_slot = jnp.where(swap_any, 1 - grp_slot, grp_slot)
+            req[RQ_SWAP_SLOT, :] = new_slot
+            new_grp_key = jnp.where(swap_any, want_eff, grp_key)
+
             emit(RQ_RCFL_IDS, rc_crossed)
             emit(RQ_BCFL_IDS, bc_crossed)
             emit(RQ_TOK_IDS, tok_miss)
-            emit(RQ_SWAP_IDS, grp_miss)
+            emit(RQ_SWAP_IDS, swap_any)
 
             # commit coder + counters
             new[_RI["low"]] = jnp.where(live, low, new[_RI["low"]])
@@ -905,9 +1014,9 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
                                            new[_RI["bc_cnt"]])
             new[_RI["tok_base"]] = jnp.where(tok_miss, new_tok_base,
                                              new[_RI["tok_base"]])
-            new[_RI["grp_key"]] = jnp.where(grp_miss, new_grp_key,
+            new[_RI["grp_key"]] = jnp.where(swap_any, new_grp_key,
                                             new[_RI["grp_key"]])
-            new[_RI["grp_slot"]] = jnp.where(grp_miss, new_slot,
+            new[_RI["grp_slot"]] = jnp.where(swap_any, new_slot,
                                              new[_RI["grp_slot"]])
             return new
 
@@ -1081,7 +1190,7 @@ def _run(B, NTS, NRS, NBS, KBITS, interpret,
          max_steps, bsize, regs, tok_hbm, plit, rc0, bc0):
     kernel = _make_kernel(B, NTS, NRS, NBS, KBITS)
     out_shapes = (
-        jax.ShapeDtypeStruct((B, 1024, 128), jnp.int32),    # plit (alias)
+        jax.ShapeDtypeStruct((B, 1024, 128), jnp.float32),  # plit (alias)
         jax.ShapeDtypeStruct((B, NRS, 128), jnp.int32),     # rc (alias)
         jax.ShapeDtypeStruct((B, NBS, 128), jnp.int32),     # bc (alias)
         jax.ShapeDtypeStruct((NR, B), jnp.int32),           # regs
@@ -1114,8 +1223,8 @@ def _run(B, NTS, NRS, NBS, KBITS, interpret,
         ),
         input_output_aliases={4: 0, 5: 1, 6: 2},
         scratch_shapes=[
-            pltpu.VMEM((B, NP_ROWS, 128), jnp.int32),       # probs
-            pltpu.VMEM((B, TS, 128), jnp.int32),            # grp
+            pltpu.VMEM((B, NP_ROWS, 128), jnp.float32),     # probs
+            pltpu.VMEM((B, TS, 128), jnp.float32),          # grp
             pltpu.VMEM((B, TS, 128), jnp.int32),            # tok_t
             pltpu.VMEM((B, TS, 128), jnp.int32),            # rc_t
             pltpu.VMEM((B, TS, 128), jnp.int32),            # bc_t
@@ -1151,7 +1260,7 @@ def encode_bits_pallas(tok_kind, tok_a, tok_b, tok_c, max_rc, max_bc,
     encode_bits.run_bits contract consumed by pipeline.encode_batch."""
     import os
     if kbits is None:
-        kbits = int(os.environ.get("PEK_KBITS", "4"))
+        kbits = int(os.environ.get("PEK_KBITS", "10"))
     B, T = tok_kind.shape
     # interleave (kind,a,b,c) into 4 consecutive lanes per token
     nts = _bucket(4 * T + TILE + 8)
@@ -1183,7 +1292,7 @@ def encode_bits_pallas(tok_kind, tok_a, tok_b, tok_c, max_rc, max_bc,
     if max_steps is None:
         max_steps = int(12 * T + max_rc + max_bc + 4096)
 
-    plit = jnp.full((B, 1024, 128), 2048, jnp.int32)
+    plit = jnp.full((B, 1024, 128), 2048.0, jnp.float32)
     rc0 = jnp.zeros((B, nrs // 128, 128), jnp.int32)
     bc0 = jnp.zeros((B, nbs // 128, 128), jnp.int32)
     import time as _time
