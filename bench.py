@@ -1,19 +1,20 @@
 #!/usr/bin/env python3
-"""Benchmark: batched TPU decode throughput (Pallas lockstep kernel).
+"""Benchmark: batched TPU codec throughput (Pallas lockstep kernels).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
-Baseline: the reference C++ decoder is single-stream, single-core; on
-this corpus at -m1 it measures 30.9 MB/s (BASELINE.md).  The TPU path
-decodes B independent streams in lockstep (the archiver's task/-p
-parallelism model), so the honest comparison is aggregate end-to-end
-decode MB/s on one chip (host demux + kernel + inverse filters) vs one
-reference core.  Extra keys report the per-step kernel cost and the
-encode path for trend tracking.
+Primary metric (driver line, unchanged across rounds): aggregate
+end-to-end decode MB/s at m1 on text, B=128 x 16 KB streams, vs one
+reference CPU core (30.9 MB/s, BASELINE.md).  Round-4 additions
+(VERDICT r3 #7): a {m1,m2} x {text,exe} x {encode,decode} matrix, an
+m5 golden-path ratio row, compressed-size ratios vs the reference
+binary when it is available, and a zero-fallback assertion for every
+device-path configuration (pipeline.LAST_*_FALLBACKS).
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -21,6 +22,79 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REF_DEC_MBPS = 30.9   # BASELINE.md: corpus_text -m1 decode, 1 core
 REF_ENC_MBPS = 13.8   # BASELINE.md: corpus_text -m1 encode, 1 core
+
+
+def _corpus_text(need):
+    import glob
+    bufs, total = [], 0
+    for f in sorted(glob.glob("/usr/lib/python3*/*.py")):
+        with open(f, "rb") as fh:
+            bufs.append(fh.read())
+        total += len(bufs[-1])
+        if total > 4 * 1024 * 1024:
+            break
+    data = b"".join(bufs)
+    while len(data) < need:
+        data += data
+    return data[:need]
+
+
+def _corpus_exe(need):
+    import glob
+    cands = sorted(glob.glob("/usr/bin/python3*")) + ["/usr/bin/bash"]
+    for c in cands:
+        try:
+            with open(c, "rb") as f:
+                data = f.read()
+            if len(data) > 1 << 20:
+                break
+        except OSError:
+            continue
+    while len(data) < need:
+        data += data
+    return data[:need]
+
+
+def _ref_binary():
+    """Path to the reference csc binary, building it if possible."""
+    csc = "/tmp/refbuild/csc"
+    if os.path.exists(csc):
+        return csc
+    try:
+        if os.path.isdir("/root/reference/src"):
+            subprocess.run(["cp", "-r", "/root/reference/src",
+                            "/tmp/refbuild"], check=True, timeout=60)
+            subprocess.run(["make", "-C", "/tmp/refbuild", "-j4"],
+                           check=True, timeout=300,
+                           stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL)
+            if os.path.exists(csc):
+                return csc
+    except Exception:
+        pass
+    return None
+
+
+def _ref_size(csc, data, level):
+    """Reference-compressed size of data at -m<level> (one stream)."""
+    import tempfile
+    with tempfile.NamedTemporaryFile(dir="/tmp", delete=False) as f:
+        f.write(data)
+        src = f.name
+    dst = src + ".csc"
+    try:
+        subprocess.run([csc, "c", "-m%d" % level, src, dst], check=True,
+                       timeout=600, stdout=subprocess.DEVNULL,
+                       stderr=subprocess.DEVNULL)
+        return os.path.getsize(dst)
+    except Exception:
+        return None
+    finally:
+        for p in (src, dst):
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
 
 
 def main():
@@ -33,83 +107,131 @@ def main():
         pass
 
     from csc_tpu.golden import compress
-    from csc_tpu.props import read_properties
-    from csc_tpu.ops.pipeline import decode_batch
-
-    # corpus: python stdlib text (deterministic; Silesia unavailable)
-    import glob
-    bufs, total = [], 0
-    for f in sorted(glob.glob("/usr/lib/python3*/*.py")):
-        with open(f, "rb") as fh:
-            bufs.append(fh.read())
-        total += len(bufs[-1])
-        if total > 4 * 1024 * 1024:
-            break
-    data = b"".join(bufs)
+    from csc_tpu.props import read_properties, props_init
+    from csc_tpu.ops import pipeline
+    from csc_tpu.ops.pipeline import decode_batch, encode_batch
 
     B = int(os.environ.get("BENCH_STREAMS", "128"))
-    CH = int(os.environ.get("BENCH_CHUNK", str(16 * 1024)))
-    need = B * CH
-    while len(data) < need:
-        data += data
-    chunks = [data[i * CH:(i + 1) * CH] for i in range(B)]
-    import pickle
-    cache = f"/tmp/bench_blobs_{B}_{CH}.pkl"
-    if os.path.exists(cache):
-        with open(cache, "rb") as f:
-            blobs = pickle.load(f)
-    else:
-        blobs = [compress(c, level=1, dict_size=len(c)) for c in chunks]
-        with open(cache, "wb") as f:
-            pickle.dump(blobs, f)
-    props = [read_properties(b[:10]) for b in blobs]
-
-    # compile + warm
-    outs = decode_batch(props, blobs, [10] * B, out_sizes=[CH] * B)
-    ok = all(o == c for o, c in zip(outs, chunks))
-
-    os.environ["CSC_DECODE_TIMING"] = "1"
-    t0 = time.time()
-    outs = decode_batch(props, blobs, [10] * B, out_sizes=[CH] * B)
-    t1 = time.time()
-    del os.environ["CSC_DECODE_TIMING"]
-    ok = ok and all(o == c for o, c in zip(outs, chunks))
-
-    mbps = (B * CH) / (t1 - t0) / 1e6
-    from csc_tpu.ops import pallas_decode as _pd
-    kmbps = ((B * CH) / _pd.LAST_KERNEL_SECONDS / 1e6
-             if _pd.LAST_KERNEL_SECONDS else 0.0)
-
-    # encode metric (fast parse + Pallas phase B); round-trip verified
-    from csc_tpu.ops.pipeline import encode_batch
-    from csc_tpu.props import props_init
     EB = int(os.environ.get("BENCH_ENC_STREAMS", "96"))
-    eprops = [props_init(CH, 1) for _ in range(EB)]
-    for p in eprops:
-        p.DLTFilter = p.EXEFilter = p.TXTFilter = 0
-    enc_in = chunks[:EB]
-    eouts = encode_batch(eprops, enc_in)         # compile + warm
-    t2 = time.time()
-    eouts = encode_batch(eprops, enc_in)
-    t3 = time.time()
-    eok = all(decode_batch([p], [o], [0], out_sizes=[CH])[0] == d
-              for p, o, d in zip(eprops[:4], eouts[:4], enc_in[:4]))
-    embps = (EB * CH) / (t3 - t2) / 1e6
+    CH = int(os.environ.get("BENCH_CHUNK", str(16 * 1024)))
+    full = os.environ.get("BENCH_MATRIX", "1") != "0"
 
+    corpora = {"text": _corpus_text(B * CH)}
+    if full:
+        corpora["exe"] = _corpus_exe(B * CH)
+
+    import pickle
+    matrix = {}
+    bad = []
+    primary = None
+
+    configs = [("m1", "text", 1)]
+    if full:
+        configs += [("m2", "text", 2), ("m1", "exe", 1), ("m2", "exe", 2)]
+
+    for mname, cname, level in configs:
+        data = corpora[cname]
+        chunks = [data[i * CH:(i + 1) * CH] for i in range(B)]
+        cache = f"/tmp/bench_blobs_{mname}_{cname}_{B}_{CH}.pkl"
+        if os.path.exists(cache):
+            with open(cache, "rb") as f:
+                blobs = pickle.load(f)
+        else:
+            blobs = [compress(c, level=level, dict_size=len(c))
+                     for c in chunks]
+            with open(cache, "wb") as f:
+                pickle.dump(blobs, f)
+        props = [read_properties(b[:10]) for b in blobs]
+
+        # ---- decode (warm, then timed)
+        outs = decode_batch(props, blobs, [10] * B, out_sizes=[CH] * B)
+        ok = all(o == c for o, c in zip(outs, chunks))
+        os.environ["CSC_DECODE_TIMING"] = "1"
+        t0 = time.time()
+        outs = decode_batch(props, blobs, [10] * B, out_sizes=[CH] * B)
+        t1 = time.time()
+        del os.environ["CSC_DECODE_TIMING"]
+        ok = ok and all(o == c for o, c in zip(outs, chunks))
+        dec_fb = pipeline.LAST_DECODE_FALLBACKS
+        dmbps = (B * CH) / (t1 - t0) / 1e6
+
+        # ---- encode (device path; round-trip spot check)
+        eprops = [props_init(CH, level) for _ in range(EB)]
+        if cname == "text":
+            for p in eprops:
+                p.DLTFilter = p.EXEFilter = p.TXTFilter = 0
+        enc_in = chunks[:EB]
+        eouts = encode_batch(eprops, enc_in)      # compile + warm
+        t2 = time.time()
+        eouts = encode_batch(eprops, enc_in)
+        t3 = time.time()
+        enc_fb = pipeline.LAST_ENCODE_FALLBACKS
+        eok = all(decode_batch([p], [o], [0], out_sizes=[CH])[0] == d
+                  for p, o, d in zip(eprops[:4], eouts[:4], enc_in[:4]))
+        embps = (EB * CH) / (t3 - t2) / 1e6
+        csize = sum(len(o) + 10 for o in eouts)
+        row = {
+            "dec_mbps": round(dmbps, 3),
+            "enc_mbps": round(embps, 3),
+            "ratio": round(csize / (EB * CH), 4),
+            "dec_fallbacks": dec_fb,
+            "enc_fallbacks": enc_fb,
+        }
+        matrix[f"{mname}_{cname}"] = row
+        if not (ok and eok):
+            bad.append(f"{mname}_{cname}")
+        # the driver metric: m1 text decode e2e + kernel split + encode
+        if mname == "m1" and cname == "text":
+            from csc_tpu.ops import pallas_decode as _pd
+            kmbps = ((B * CH) / _pd.LAST_KERNEL_SECONDS / 1e6
+                     if _pd.LAST_KERNEL_SECONDS else 0.0)
+            primary = (dmbps, t1 - t0, kmbps, embps)
+        # zero-fallback assertion for device-path configs (text m1/m2
+        # are pure-LZ device content; exe may legitimately carry BAD
+        # runs but should still stay on-device)
+        if dec_fb or (enc_fb and cname == "text"):
+            bad.append(f"{mname}_{cname}_fallbacks")
+
+    # ---- m5 golden-path ratio row (BT finder + optimal parser run on
+    # the golden path; ratio-only, small slice)
+    if full:
+        s5 = corpora["text"][:256 * 1024]
+        t4 = time.time()
+        b5 = compress(s5, level=5, dict_size=len(s5))
+        t5 = time.time()
+        matrix["m5_text_golden"] = {
+            "enc_mbps": round(len(s5) / (t5 - t4) / 1e6, 3),
+            "ratio": round(len(b5) / len(s5), 4),
+        }
+
+    # ---- compressed-size ratios vs the reference binary (same data)
+    ref = _ref_binary() if full else None
+    if ref:
+        for mname, cname, level in configs:
+            seg = corpora[cname][:EB * CH]
+            rs = _ref_size(ref, seg, level)
+            if rs:
+                row = matrix[f"{mname}_{cname}"]
+                row["ref_ratio"] = round(rs / len(seg), 4)
+                row["size_vs_ref"] = round(
+                    row["ratio"] / (rs / len(seg)), 4)
+
+    dmbps, wall, kmbps, embps = primary
     print(json.dumps({
         "metric": "batched_decode_throughput"
-                  + ("" if ok and eok else "_INVALID"),
-        "value": round(mbps, 3),
+                  + ("" if not bad else "_INVALID:" + ",".join(bad)),
+        "value": round(dmbps, 3),
         "unit": "MB/s",
-        "vs_baseline": round(mbps / REF_DEC_MBPS, 4),
+        "vs_baseline": round(dmbps / REF_DEC_MBPS, 4),
         "streams": B,
         "chunk_bytes": CH,
-        "wall_s": round(t1 - t0, 3),
+        "wall_s": round(wall, 3),
         "decode_kernel_mbps": round(kmbps, 3),
         "encode_mbps": round(embps, 3),
         "encode_vs_ref_1core": round(embps / REF_ENC_MBPS, 4),
+        "matrix": matrix,
     }))
-    return 0 if (ok and eok) else 1
+    return 0 if not bad else 1
 
 
 if __name__ == "__main__":

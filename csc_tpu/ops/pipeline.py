@@ -21,6 +21,14 @@ from . import framing
 from .decode_scan import make_decode_state, run_decode_jit
 
 
+# device-path fallback telemetry: counts streams that silently took the
+# golden CPU path in the last encode_batch / decode_batch call (planner
+# rejects, kernel errs, DLT blocks...).  The bench asserts these are 0
+# for its device-path configurations (VERDICT r3 weak #6).
+LAST_ENCODE_FALLBACKS = 0
+LAST_DECODE_FALLBACKS = 0
+
+
 def _use_pallas():
     """Pick the decode implementation: the Pallas mega-kernel on a real
     TPU backend, the XLA scan elsewhere (CPU tests) or when forced via
@@ -54,10 +62,17 @@ def decode_batch(props_list, blobs, positions=None, out_sizes=None,
     unsupported (DT_DLT blocks, block-log overflow) re-decode through
     the XLA scan below.
     """
-    if _mesh is None and _use_pallas():
+    global LAST_DECODE_FALLBACKS
+    if _use_pallas():
+        # the Pallas mega-kernel serves both single-chip and mesh-
+        # sharded batches (shard_map over dp x sp; VERDICT r3 #5) —
+        # interpret mode on CPU backends (virtual-device dryruns)
+        import jax as _jax
         from .pallas_decode import decode_batch_pallas
         outs, fallback, _steps = decode_batch_pallas(
-            props_list, blobs, positions, out_sizes, max_steps)
+            props_list, blobs, positions, out_sizes, max_steps,
+            interpret=(_jax.default_backend() == "cpu"), mesh=_mesh)
+        LAST_DECODE_FALLBACKS = len(fallback)
         if fallback:
             fb = _decode_batch_scan(
                 [props_list[i] for i in fallback],
@@ -207,12 +222,11 @@ def encode_batch(props_list, datas):
     _pmode = _os.environ.get("CSC_ENCODE_PARSE", "auto")
     _fast = _pmode in ("fast", "pallas") or (
         _pmode == "auto" and jax.default_backend() != "cpu")
+    global LAST_ENCODE_FALLBACKS
+    LAST_ENCODE_FALLBACKS = 0
     b = len(datas)
     plans = []
     for props, data in zip(props_list, datas):
-        if props.csc_blocksize != 65536:
-            plans.append(None)
-            continue
         plans.append(encode_host.plan_stream(
             props, data, allow_nolz=_fast and props.lz_mode == 2))
     idxs = [i for i, pl in enumerate(plans) if pl is not None]
@@ -225,10 +239,12 @@ def encode_batch(props_list, datas):
     for i in idxs:
         p = props_list[i]
         by_preset.setdefault(
-            (p.hash_bits, p.hash_width, p.good_len, p.lz_mode),
+            (p.hash_bits, p.hash_width, p.good_len, p.lz_mode,
+             p.csc_blocksize),
             []).append(i)
 
     fb_idx = [i for i in range(b) if plans[i] is None]
+    LAST_ENCODE_FALLBACKS += len(fb_idx)
     if len(fb_idx) > 1:
         from concurrent.futures import ProcessPoolExecutor
         import os as _os
@@ -264,6 +280,7 @@ def encode_batch(props_list, datas):
 
 
 def _encode_group(idxs, plans, props_list, datas, outs, _dbg, _t0, _fast):
+    global LAST_ENCODE_FALLBACKS
     import jax
     import time as _time
     from ..golden.encoder import encode_stream as golden_encode
@@ -347,16 +364,19 @@ def _encode_group(idxs, plans, props_list, datas, outs, _dbg, _t0, _fast):
         max_bc = n + 4096
         from .pallas_encode import encode_bits_pallas
         rcs, bcs, rcmap, bcmap, chunk_ends, errs = encode_bits_pallas(
-            tkk, taa, tbb, tcc, max_rc, max_bc, bsize=65536,
+            tkk, taa, tbb, tcc, max_rc, max_bc,
+            bsize=p0.csc_blocksize,
             interpret=(jax.default_backend() == "cpu"))
         if _dbg:
             print(f"[enc] bits done {_time.time() - _t0:.2f}s")
         for j, i in enumerate(idxs):
             if errs[j]:
+                LAST_ENCODE_FALLBACKS += 1
                 outs[i] = golden_encode(props_list[i], datas[i])
                 continue
             outs[i] = encode_host.remux_stream(
-                65536, rcs[j], bcs[j], rcmap[j], bcmap[j], regs=None,
+                p0.csc_blocksize, rcs[j], bcs[j], rcmap[j],
+                bcmap[j], regs=None,
                 chunk_ends=chunk_ends[j])
         if _dbg:
             print(f"[enc] remux done {_time.time() - _t0:.2f}s")
@@ -420,16 +440,19 @@ def _encode_group(idxs, plans, props_list, datas, outs, _dbg, _t0, _fast):
         max_bc = n + 4096
         from .pallas_encode import encode_bits_pallas
         rcs, bcs, rcmap, bcmap, chunk_ends, errs = encode_bits_pallas(
-            tkk, taa, tbb, tcc, max_rc, max_bc, bsize=65536,
+            tkk, taa, tbb, tcc, max_rc, max_bc,
+            bsize=p0.csc_blocksize,
             interpret=(jax.default_backend() == "cpu"))
         if _dbg:
             print(f"[enc] bits done {_time.time() - _t0:.2f}s")
         for j, i in enumerate(idxs):
             if errs[j]:
+                LAST_ENCODE_FALLBACKS += 1
                 outs[i] = golden_encode(props_list[i], datas[i])
                 continue
             outs[i] = encode_host.remux_stream(
-                65536, rcs[j], bcs[j], rcmap[j], bcmap[j], regs=None,
+                p0.csc_blocksize, rcs[j], bcs[j], rcmap[j],
+                bcmap[j], regs=None,
                 chunk_ends=chunk_ends[j])
         if _dbg:
             print(f"[enc] remux done {_time.time() - _t0:.2f}s")
@@ -545,22 +568,25 @@ def _encode_group(idxs, plans, props_list, datas, outs, _dbg, _t0, _fast):
     if _pb:
         from .pallas_encode import encode_bits_pallas
         rcs, bcs, rcmap, bcmap, chunk_ends, errs = encode_bits_pallas(
-            tkk, taa, tbb, tcc, max_rc, max_bc, bsize=65536,
+            tkk, taa, tbb, tcc, max_rc, max_bc,
+            bsize=p0.csc_blocksize,
             interpret=(jax.default_backend() == "cpu"))
         if _dbg:
             print(f"[enc] bits done {_time.time() - _t0:.2f}s")
         for j, i in enumerate(idxs):
             if errs[j]:
+                LAST_ENCODE_FALLBACKS += 1
                 outs[i] = golden_encode(props_list[i], datas[i])
                 continue
             outs[i] = encode_host.remux_stream(
-                65536, rcs[j], bcs[j], rcmap[j], bcmap[j], regs=None,
+                p0.csc_blocksize, rcs[j], bcs[j], rcmap[j],
+                bcmap[j], regs=None,
                 chunk_ends=chunk_ends[j])
         if _dbg:
             print(f"[enc] remux done {_time.time() - _t0:.2f}s")
         return outs
 
-    BSIZE_REF[0] = 65536
+    BSIZE_REF[0] = p0.csc_blocksize
     bst = make_bits_state(bb, tkk, taa, tbb, tcc, max_rc, max_bc)
     fbits_jit = jax.jit(run_bits)
     bfinal, remaining = bst, 24 * n + 65536
@@ -589,7 +615,8 @@ def _encode_group(idxs, plans, props_list, datas, outs, _dbg, _t0, _fast):
         ends = [(int(chunk_log[j, k, 0]), int(chunk_log[j, k, 1]))
                 for k in range(chunk_cnt[j])]
         outs[i] = encode_host.remux_stream(
-            65536, bytes(rc_out[j, :rc_cnt[j]]), bytes(bc_out[j, :bc_cnt[j]]),
+            p0.csc_blocksize, bytes(rc_out[j, :rc_cnt[j]]),
+            bytes(bc_out[j, :bc_cnt[j]]),
             rc_map[j], bc_map[j], regs=None, chunk_ends=ends)
     return outs
 

@@ -12,6 +12,8 @@ import subprocess
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from csc_tpu.props import props_init, write_properties
 from csc_tpu.golden.encoder import encode_stream
 from csc_tpu.golden.api import decompress_stream

@@ -1,0 +1,63 @@
+"""Pallas phase-B encode kernel vs golden (interpret mode on CPU).
+
+The tape-level unit coverage lives in tools/dev_bits_unit.py; these
+tests drive the full product path (plan -> parse -> stitch -> Pallas
+phase B -> remux) and compare the physical streams byte-for-byte
+against the golden encoder, including non-default csc_blocksize
+(csc_memio.cpp:83-108 framing must follow the props, VERDICT r3 #8).
+"""
+import os
+
+import numpy as np
+import pytest
+
+from csc_tpu.props import props_init
+from csc_tpu.golden.encoder import encode_stream
+from csc_tpu.ops.pipeline import encode_batch
+
+
+def _mk_text(n, seed=0):
+    rng = np.random.default_rng(seed)
+    words = [b"the", b"quick", b"brown", b"compression", b"window",
+             b"entropy", b"coder", b"range", b"match", b"finder"]
+    out = bytearray()
+    while len(out) < n:
+        out += words[rng.integers(len(words))] + b" "
+    return bytes(out[:n])
+
+
+def _props(level=1, dict_size=32 * 1024, blocksize=None):
+    p = props_init(dict_size, level)
+    p.DLTFilter = p.EXEFilter = p.TXTFilter = 0
+    if blocksize is not None:
+        p.csc_blocksize = blocksize
+    return p
+
+
+def _check(datas, props_list):
+    os.environ["CSC_ENCODE_BITS"] = "pallas"
+    try:
+        got = encode_batch(props_list, datas)
+    finally:
+        os.environ.pop("CSC_ENCODE_BITS", None)
+    want = [encode_stream(p, d) for p, d in zip(props_list, datas)]
+    for i, (g, w) in enumerate(zip(got, want)):
+        assert g == w, f"stream {i}: {len(g)} vs {len(w)} bytes"
+
+
+def test_lit_match_mix():
+    ds = [_mk_text(1500, 1), (b"abcdefgh" * 60 + b"XYZ")[:500]]
+    _check(ds, [_props() for _ in ds])
+
+
+@pytest.mark.slow
+def test_blocksize_32k():
+    # csc_blocksize 32 KB: MemIO blocks close 2x as often
+    ds = [_mk_text(3000, 5)]
+    _check(ds, [_props(blocksize=32 * 1024)])
+
+
+@pytest.mark.slow
+def test_blocksize_128k():
+    ds = [_mk_text(2500, 9)]
+    _check(ds, [_props(blocksize=128 * 1024)])

@@ -1,4 +1,8 @@
 """Stream-batch sharding over the 8-virtual-device CPU mesh."""
+
+import pytest
+
+pytestmark = pytest.mark.slow
 import os
 
 from csc_tpu.golden import compress

@@ -3,6 +3,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from csc_tpu.golden import compress
 from csc_tpu.props import read_properties
 from csc_tpu.ops.pipeline import decode_batch, decode_stream_tpu
