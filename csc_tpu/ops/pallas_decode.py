@@ -22,8 +22,10 @@ axon/Mosaic facts (see tools/spike_marginal.py, tools/spike_dma.py):
   (flush / fetch / group swap / coder refills). No cross-step DMA state.
 
 Bit-exactness contract: identical to CSCDecoder for streams whose output
-fits the window (no ring wrap), excluding DT_DLT blocks which flag
-ERR_UNSUPPORTED and fall back to the XLA scan on host (pipeline.py).
+fits the window (no ring wrap).  DT_DLT blocks decode on-device in the
+FILTERED (delta) domain with a host inverse post-pass; streams where a
+later LZ copy sources into a delta segment flag ERR_UNSUPPORTED and
+fall back to the XLA scan (which fuses the inverse in-window).
 Corrupt streams set ERR_CORRUPT where csc_dec.cpp:508-547 throws
 DECODE_ERROR (x_tpu improvement over the clamping XLA scan).
 
@@ -38,15 +40,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import (DIST_TABLE, REV16_TABLE, DT_NORMAL, DT_EXE,
-                         DT_ENGTXT, DT_BAD, DT_ENTROPY, SIG_EOF, DT_DLT)
+                         DT_ENGTXT, DT_BAD, DT_ENTROPY, SIG_EOF, DT_DLT,
+                         DLT_INDEX)
 from .decode_scan import (
     P_STATE, P_REPDIST, P_DIST, P_MDEXTRA, P_MLSLOT, P_MLEX1, P_MLEX2,
     P_MLEX3, P_LONGLEN, P_RLEFLAG,
     F_IDLE, F_FLAG1, F_FLAG2, F_FLAG3, F_LITTREE, F_REPTREE, F_LENSLOT0,
     F_LENSLOT1, F_LENTREE3, F_LENTREE7, F_LONGLEN, F_DISTSLOT, F_DISTEXTRA,
     F_ENTTREE, F_INTSLOT, F_INTNUM, F_DISTDIRECT, F_BADBYTES, F_COPY,
+    F_RLEFLAG, F_RLETREE, F_RLERUN,
     IP_BLOCKTYPE, IP_CONT, IP_SIZE_BAD, IP_SIZE_ENT, IP_SIZE_RLE,
-    IP_SIZE_TXT, LF_MATCH, LF_REP,
+    IP_SIZE_TXT, LF_MATCH, LF_REP, LF_RLE,
     _PDIST_POS, _PDIST_BITS,
 )
 
@@ -61,10 +65,12 @@ F_PRIME = 22
 PH_FLAG1, PH_FLAG2, PH_FLAG3, PH_REP = 0, 1, 2, 3
 PH_SLOT0, PH_SLOT1, PH_TREE3, PH_TREE7 = 4, 5, 6, 7
 PH_LONG, PH_LIT, PH_DSLOT, PH_DEXTRA, PH_ENT = 8, 9, 10, 11, 12
+PH_RLEF, PH_DLIT = 13, 14
 PH_HALT = 15
 # step exit kinds (post-loop transition dispatch)
 EX_NONE, EX_LIT, EX_ENT, EX_R01, EX_LENDONE, EX_LEN7 = 0, 1, 2, 3, 4, 5
 EX_LONG, EX_MATCH, EX_DDBIG, EX_LITP = 6, 7, 8, 9
+EX_DLIT, EX_DLITP = 10, 11
 # restage point: dist-slot trees take <=5 bits (sbits<=5), so every
 # DSLOT lane is done when bit 5 starts; the extra-nibble row is staged
 # there.  9 bits covers slot+extra; 10 covers the longest token-step
@@ -85,6 +91,7 @@ PP_LEN = 512             # +0,+1 len slots; +16+node / +24+node lentree3
 PP_MLEX3 = 640           # +node (1..127), full row
 PP_DIST = 768            # + _PPDIST_POS[min(len,6)] + node (2 rows)
 PP_MDEXTRA = 1024        # + (ebits-1)*16 + node (29 trees, 16-aligned)
+PP_RLE = PP_LEN + 40     # CompressRLE flag bit (csc_model.cpp:483)
 _PPDIST_POS_NP = np.array([0, 16, 32, 64, 96, 128, 160], np.int32)
 TS = 16                  # tile sublanes (2 blocks of 8)
 BLK = 1024               # DMA block, elements
@@ -109,6 +116,7 @@ _OPC[F_IDLE] = 3
 for _f in (F_INTSLOT, F_INTNUM, F_DISTDIRECT, F_BADBYTES):
     _OPC[_f] = 1                          # DIRECT
 _OPC[F_COPY] = 2                          # COPY
+_OPC[F_RLERUN] = 2                        # constant-byte run writes
 _OPC[F_PRIME] = 4
 
 REGS = [
@@ -119,7 +127,7 @@ REGS = [
     "size_rem", "eof", "done", "blk_start", "blk_cnt",
     "rc_ptr", "rc_blk", "rc_base", "bc_bits", "bc_ptr", "bc_blk",
     "bc_base", "rd_base", "grp_key", "grp_slot", "flushed_blk", "err",
-    "rep0", "rep1", "rep2", "rep3",
+    "rep0", "rep1", "rep2", "rep3", "sctx", "last_delta", "dlt_hi",
     "rc_code", "rc_range", "bc_val",     # u32 semantics, stored as i32
 ]
 NR = len(REGS)
@@ -381,29 +389,37 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             bc_miss = (is_dir0 | (is_bit0 & (fsm == F_DISTSLOT))) \
                 & ((bc_ptr < bc_base) | (bc_ptr + 4 > bc_base + TILE))
 
-            # literal-group residency (LITTREE/ENTTREE use p_lit[ctx],
-            # csc_model.cpp:169-183; RLETREE excluded in v1)
-            uses_grp = (fsm == F_LITTREE) | (fsm == F_ENTTREE)
-            want_key = ctx >> 2
+            # literal-group residency: LITTREE/ENTTREE use p_lit[ctx]
+            # (csc_model.cpp:169-183); RLETREE uses p_delta[sctx]
+            # (:493-499), stored as group keys 64-127 of the same tile
+            sctx = g("sctx")
+            is_rlet = fsm == F_RLETREE
+            uses_grp = (fsm == F_LITTREE) | (fsm == F_ENTTREE) | is_rlet
+            gctx = jnp.where(is_rlet | (fsm == F_RLEFLAG), sctx, ctx)
+            want_key = (gctx >> 2) + jnp.where(
+                is_rlet | (fsm == F_RLEFLAG), 64, 0)
             grp_key = g("grp_key")
             grp_miss = is_bit0 & uses_grp & (grp_key != want_key)
 
-            # copy source coverage
+            # copy source coverage (F_RLERUN writes a constant byte —
+            # no source window, no residency checks)
+            is_rrun = is_cpy0 & (fsm == F_RLERUN)
             dist = g("dist")
             src0 = g("cpy_src")
             cpy_done = g("cpy_done")
             cpy_rem = g("cpy_rem")
             sdist = jnp.maximum(dist, 1)
-            src_eff = src0 + cpy_done % sdist
-            avail = wnd_pos - src_eff
-            bad_copy = is_cpy0 & ((dist <= 0) | (src0 < 0)
-                                  | (avail <= 0))
+            src_eff = jnp.where(is_rrun, wnd_pos,
+                                src0 + cpy_done % sdist)
+            avail = jnp.where(is_rrun, CH, wnd_pos - src_eff)
+            bad_copy = is_cpy0 & ~is_rrun & ((dist <= 0) | (src0 < 0)
+                                             | (avail <= 0))
             out_lo = jnp.maximum(((wnd_pos >> 10) - 1) << 10, 0)
             use_out = src_eff >= out_lo
             rd_base = g("rd_base")
             rd_ok = (src_eff >= rd_base) & (src_eff < rd_base + TILE) \
                 & (rd_base >= 0)
-            rd_miss = is_cpy0 & ~bad_copy & ~use_out & ~rd_ok
+            rd_miss = is_cpy0 & ~is_rrun & ~bad_copy & ~use_out & ~rd_ok
 
             stall = rc_miss | bc_miss | grp_miss | rd_miss
             is_bit = is_bit0 & ~stall
@@ -425,8 +441,9 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             # 128-lane row; a crossing copy just takes another COPY step
             cl = jnp.minimum(cl, 128 - (src_eff & 127))
             cl = jnp.minimum(cl, 128 - (wnd_pos & 127))
+            cl = jnp.where(is_rrun, jnp.minimum(cl, g("size_rem")), cl)
             cl = jnp.where(is_cpy, jnp.maximum(cl, 0), 0)
-            cfin = is_cpy & (cl > 0) & (cpy_rem - cl == 0)
+            cfin = is_cpy & ~is_rrun & (cl > 0) & (cpy_rem - cl == 0)
             # fuse only when the rc window already covers a full K-bit
             # step; otherwise prefetch rc now so the token step that
             # follows does not stall
@@ -450,8 +467,13 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             # raw (unrotated) source row; rotated into place by the
             # single unified rotate in the window-write section
             copy_row = jax.lax.cond(
-                jnp.any(is_cpy), _copy_read,
+                jnp.any(is_cpy & ~is_rrun), _copy_read,
                 lambda: jnp.zeros((B, 128), jnp.int32))
+            # runs write the constant delta byte across the chunk
+            copy_row = jnp.where(_col(is_rrun),
+                                 jnp.broadcast_to(
+                                     g("last_delta")[:, None], (B, 128)),
+                                 copy_row)
             if "copy" in _DUP:
                 copy_row = jnp.where(dcol, jax.lax.cond(
                     jnp.any(is_cpy), _copy_read,
@@ -508,6 +530,7 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             lo_row = jnp.where(entry_f1, mstate8 >> 7, c4)
             hi_row = c4
             for _c, _lo in [(fsm == F_LENTREE7, jnp.full_like(fsm, 5)),
+                            (fsm == F_RLEFLAG, c4),
                             (fsm == F_DISTSLOT, jnp.full_like(fsm, 6)),
                             (fsm == F_DISTEXTRA, exrow0)]:
                 lo_row = jnp.where(_c, _lo, lo_row)
@@ -516,8 +539,10 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
 
             use_gc = is_bit & uses_grp
             flag1_lit_ok = is_bit & (fsm == F_FLAG1) & (grp_key == want_key)
-            use_gc_any = use_gc | flag1_lit_ok
-            gsub_lit = grp_slot * 8 + (ctx & 3) * 2
+            rlef_dlit_ok = is_bit & (fsm == F_RLEFLAG) \
+                & (grp_key == want_key)
+            use_gc_any = use_gc | flag1_lit_ok | rlef_dlit_ok
+            gsub_lit = grp_slot * 8 + (gctx & 3) * 2
             lit_pair = jax.lax.cond(
                 jnp.any(use_gc_any),
                 lambda: _tile_pair_even(grp, gsub_lit >> 1),
@@ -568,6 +593,10 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                      jnp.full_like(fsm, 128)),
                     (fsm == F_LONGLEN, PH_LONG, jnp.full_like(fsm, 159),
                      jnp.full_like(fsm, 2)),
+                    (fsm == F_RLEFLAG, PH_RLEF,
+                     jnp.full_like(fsm, 39), jnp.full_like(fsm, 2)),
+                    (fsm == F_RLETREE, PH_DLIT, jnp.zeros_like(fsm),
+                     jnp.full_like(fsm, 256)),
                     (fsm == F_DISTSLOT, PH_DSLOT, pdp,
                      1 << jnp.clip(g("sbits"), 0, 5)),
                     (fsm == F_DISTEXTRA, PH_DEXTRA, exbase0,
@@ -731,6 +760,22 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                 m = dn & (ph == PH_ENT)
                 lit_b = jnp.where(m, node2 & 0xFF, lit_b)
                 H(m, EX_ENT)
+                # RLEFLAG: bit0 -> delta literal, bit1 -> run length
+                # (CompressRLE, csc_model.cpp:483-499)
+                m = dn & (ph == PH_RLEF)
+                go_dlit = m & ~b_ & rlef_dlit_ok
+                T(go_dlit, PH_DLIT, jnp.zeros_like(fsm),
+                  jnp.full_like(fsm, 256))
+                H(m & ~b_ & ~rlef_dlit_ok, EX_DLITP)
+                mb = m & b_
+                lf = jnp.where(mb, LF_RLE, lf)
+                nla = jnp.where(mb, 0, nla)
+                nlp = jnp.where(mb, 0, nlp)
+                T(mb, PH_SLOT0, jnp.full_like(fsm, 127),
+                  jnp.full_like(fsm, 2))
+                m = dn & (ph == PH_DLIT)
+                lit_b = jnp.where(m, node2 & 0xFF, lit_b)
+                H(m, EX_DLIT)
                 # DISTSLOT (csc_dec.cpp:234-281)
                 m = dn & (ph == PH_DSLOT)
                 slotv = node2 - lim
@@ -757,19 +802,20 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                 la, lp = nla, nlp
 
                 if ibit == 0:
-                    # FLAG1 bit0 chains into the literal subtree: switch
-                    # the window and start a fresh delta accumulator
-                    swc1 = _col(go_lit)
+                    # FLAG1/RLEFLAG bit0 chains into the literal/delta
+                    # subtree: switch the window + fresh accumulator
+                    sw1b = go_lit | go_dlit
+                    swc1 = _col(sw1b)
                     snapA = jnp.where(swc1, dacc, snapA)
                     dacc = jnp.where(swc1, 0, dacc)
                     comb = jnp.where(swc1, lit_pair, comb)
-                    sw_mask = sw_mask | go_lit
+                    sw_mask = sw_mask | sw1b
 
             # ---- flush the deferred prob deltas via MXU outer products
             sw_c = _col(sw_mask)
             deltaA = jnp.where(sw_c, snapA, dacc)
             deltaB = jnp.where(sw_c, dacc, jnp.zeros_like(dacc))
-            sw1 = sw_mask & (fsm == F_FLAG1)
+            sw1 = sw_mask & ((fsm == F_FLAG1) | (fsm == F_RLEFLAG))
             sw2m = sw_mask & xwait
             gc_c = _col(use_gc)
             grp_delta = jnp.where(gc_c, deltaA,
@@ -927,6 +973,17 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             upd("err", bad_copy & (g("err") == 0), ERR_CORRUPT)
             upd("done", bad_copy | (g("err") > 0), 1)
             upd("fsm", bad_copy, F_IDLE)
+            # constant-delta runs: advance sctx + block accounting
+            cr = is_rrun & (cl > 0)
+            nszr = size_rem - cl
+            upd("size_rem", cr, nszr)
+            upd("sctx", cr, g("last_delta"))
+            rr_blk_done = cr & (nszr == 0)
+            rr_end = cr & (cpy_rem - cl == 0) & ~rr_blk_done
+            upd("fsm", rr_end, F_RLEFLAG)
+            upd("fsm", rr_blk_done, F_INTSLOT)
+            upd("int_purpose", rr_blk_done, IP_CONT)
+            upd("direct_rem", rr_blk_done, 5)
             # effective window position for this step's token setups
             wnd_eff = wnd_pos + cl
 
@@ -1059,6 +1116,43 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             upd("int_purpose", ent_blk_done, IP_CONT)
             upd("direct_rem", ent_blk_done, 5)
 
+            # --- EX_DLIT: one delta-domain byte (CompressRLE literal,
+            # csc_model.cpp:493-499).  The device window keeps FILTERED
+            # bytes for DLT segments; the host post-pass applies the
+            # native inverse delta per logged block (csc_dec.cpp:644-651
+            # equivalent), so writes stay monotonic in the ring
+            dlit_done = exitk == EX_DLIT
+            upd("sctx", dlit_done, lit_b)
+            upd("last_delta", dlit_done, lit_b)
+            upd("wnd_pos", dlit_done, wnd_pos + 1)
+            nszd = size_rem - 1
+            upd("size_rem", dlit_done, nszd)
+            dlt_blk_done = dlit_done & (nszd == 0)
+            upd("fsm", dlit_done & ~dlt_blk_done, F_RLEFLAG)
+            upd("fsm", dlt_blk_done, F_INTSLOT)
+            upd("int_purpose", dlt_blk_done, IP_CONT)
+            upd("direct_rem", dlt_blk_done, 5)
+            dlit_write = dlit_done
+            # --- EX_DLITP: delta group not resident; park + swap
+            c = exitk == EX_DLITP
+            upd("fsm", c, F_RLETREE)
+            upd("node", c, 1)
+
+            # --- EX_LENDONE with LF_RLE: constant-delta run
+            ld_rle = len_done & (lf == LF_RLE)
+            upd("fsm", ld_rle, F_RLERUN)
+            upd("cpy_rem", ld_rle, wl + 11)
+            upd("cpy_done", ld_rle, 0)
+
+            # conservative DLT guard: the device window holds DELTA-
+            # domain bytes for DLT segments, so a copy sourcing below
+            # the last delta segment's end could read filtered data —
+            # flag for the XLA-scan fallback (which fuses the inverse)
+            to_copy = (exitk == EX_R01) | ld_rep | normal_match
+            dlt_guard = to_copy & (new[_RI["cpy_src"]] < g("dlt_hi"))
+            upd("err", dlt_guard & (g("err") == 0), ERR_UNSUPPORTED)
+            upd("done", dlt_guard, 1)
+
             # ================== DIRECT transitions =======================
             c = is_dir & (fsm == F_INTSLOT)
             upd("int_slot", c, dval)
@@ -1109,9 +1203,7 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             upd("eof", t_eof, 1)
             to_int(t_eof, IP_CONT)
             t_dlt = bt & (num >= DT_DLT) & (num < DT_DLT + 5)
-            upd("err", t_dlt & (g("err") == 0), ERR_UNSUPPORTED)
-            upd("done", t_dlt, 1)
-            upd("fsm", t_dlt, F_IDLE)
+            to_int(t_dlt, IP_SIZE_RLE)
             bad_type = bt & (num != DT_NORMAL) & (num != DT_EXE) \
                 & (num != DT_ENGTXT) & (num != DT_BAD) \
                 & (num != DT_ENTROPY) & (num != SIG_EOF) & ~t_dlt
@@ -1127,6 +1219,15 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             upd("node", se, 1)
             upd("fsm", se & (num > 0), F_ENTTREE)
             to_int(se & (num == 0), IP_CONT)
+
+            sr = cdone & (ip == IP_SIZE_RLE)
+            upd("size_rem", sr, num)
+            upd("blk_start", sr, wnd_pos)
+            upd("sctx", sr, 0)
+            upd("last_delta", sr, 0)
+            upd("dlt_hi", sr, wnd_pos + num)
+            upd("fsm", sr & (num > 0), F_RLEFLAG)
+            to_int(sr & (num == 0), IP_CONT)
 
             upd("fsm", cdone & (ip == IP_SIZE_TXT), F_FLAG1)
 
@@ -1183,10 +1284,9 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
 
             # ================== unified window write =====================
             # byte-writers: literal / entropy byte / BAD raw bytes
-            one_w = lit_write | ent_write | bad_write
-            b0 = jnp.where(lit_write, lit_byte,
-                           jnp.where(ent_write, ent_byte,
-                                     jnp.where(bad_write, bad_b0, 0)))
+            one_w = lit_write | ent_write | bad_write | dlit_write
+            b0 = jnp.where(lit_write | ent_write | dlit_write, lit_b,
+                           jnp.where(bad_write, bad_b0, 0))
             wlen = jnp.where(is_cpy & (cl > 0), cl,
                              jnp.where(bad_write, nwr,
                                        jnp.where(one_w, 1, 0)))
@@ -1234,8 +1334,12 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             # different prob group, issue the swap in THIS step's service
             # so the next step's FLAG1 can chain without a stall
             new_ctx = new[_RI["ctx"]]
-            pf_key = new_ctx >> 2
-            ctx_set = lit_done | copy_done | (ent_done & ~ent_blk_done)
+            dlt_next = (dlit_done & ~dlt_blk_done) | rr_end
+            pf_key = jnp.where(dlt_next,
+                               (new[_RI["sctx"]] >> 2) + 64,
+                               new_ctx >> 2)
+            ctx_set = lit_done | copy_done | (ent_done & ~ent_blk_done) \
+                | dlt_next
             prefetch = ctx_set & (pf_key != new_grp_key) & live
             swap_any = grp_miss | prefetch
             req[RQ_SWAP_NEW, :] = jnp.where(prefetch, pf_key, want_key)
@@ -1811,6 +1915,13 @@ def decode_batch_pallas(props_list, blobs, positions=None, out_sizes=None,
                     elif btype == DT_ENGTXT:
                         seg = bytearray(raw[start:end])
                         native.dict_inverse(seg)
+                        raw[start:end] = seg
+                    elif DT_DLT <= btype < DT_DLT + 5:
+                        # kernel wrote the FILTERED (delta) bytes;
+                        # apply the native inverse (csc_dec.cpp:644-651)
+                        seg = bytearray(raw[start:end])
+                        native.delta_inverse(
+                            seg, DLT_INDEX[btype - DT_DLT])
                         raw[start:end] = seg
                 outputs[i] = bytes(raw)
         if not regrow:

@@ -10,6 +10,7 @@ import numpy as np
 import pytest
 
 from csc_tpu.props import props_init
+import numpy as np  # noqa: F811
 from csc_tpu.golden.encoder import encode_stream
 from csc_tpu.golden.decoder import DecodeError
 from csc_tpu.ops.pallas_decode import decode_batch_pallas
@@ -106,4 +107,24 @@ def test_ring_window_scan_regrows_without_sizes():
     p = _props(1, dict_size=8 * 1024)
     blob = encode_stream(p, d)
     outs = _decode_batch_scan([p], [blob])
+    assert outs[0] == d
+
+
+def test_dlt_blocks_on_device():
+    """DT_DLT decodes on the kernel path (delta-domain + host inverse)
+    with NO fallback (csc_dec.cpp:644-651; VERDICT r3 #6)."""
+    # 4-channel ramp: the analyzer types this DT_DLT
+    n = 24 * 1024
+    ch = np.arange(n // 4, dtype=np.int32)
+    data = np.zeros(n, np.uint8)
+    data[0::4] = (ch * 3) & 0xFF
+    data[1::4] = (ch * 5 + 1) & 0xFF
+    data[2::4] = (ch * 7 + 2) & 0xFF
+    data[3::4] = 200
+    d = data.tobytes()
+    p = props_init(32 * 1024, 2)    # filters ON -> analyzer picks DLT
+    blobs = [encode_stream(p, d)]
+    outs, fb, _ = decode_batch_pallas([p], blobs, out_sizes=[len(d)],
+                                      interpret=True)
+    assert fb == [], "DLT stream fell back to the scan"
     assert outs[0] == d
