@@ -66,16 +66,22 @@ PH_FLAG1, PH_FLAG2, PH_FLAG3, PH_REP = 0, 1, 2, 3
 PH_SLOT0, PH_SLOT1, PH_TREE3, PH_TREE7 = 4, 5, 6, 7
 PH_LONG, PH_LIT, PH_DSLOT, PH_DEXTRA, PH_ENT = 8, 9, 10, 11, 12
 PH_RLEF, PH_DLIT = 13, 14
+PH_DWAIT = 16            # len done; dist trees staged at RESTAGE2_BIT
 PH_HALT = 15
 # step exit kinds (post-loop transition dispatch)
 EX_NONE, EX_LIT, EX_ENT, EX_R01, EX_LENDONE, EX_LEN7 = 0, 1, 2, 3, 4, 5
 EX_LONG, EX_MATCH, EX_DDBIG, EX_LITP = 6, 7, 8, 9
 EX_DLIT, EX_DLITP = 10, 11
-# restage point: dist-slot trees take <=5 bits (sbits<=5), so every
-# DSLOT lane is done when bit 5 starts; the extra-nibble row is staged
-# there.  9 bits covers slot+extra; 10 covers the longest token-step
-# path (flag1,flag2,flag3,reptree(2),lenslot(2),lentree3(3)).
+# Restage points.  A dist-step entry (F_DISTSLOT) finishes its slot
+# tree (sbits<=5 bits) before bit 5, where the extra-nibble row is
+# staged.  A TOKEN step fuses the whole match: flags+len trees finish
+# by bit 6 (flag1,flag2,slot0[,slot1],lentree3), the dist row pair is
+# staged at bit 7, the slot tree (<=5 bits) finishes by bit 11, and
+# the extra row is staged at bit 12 — so one 16-bit step decodes an
+# entire match token (dist high bits ride the fused bc direct read).
 RESTAGE_BIT = 5
+RESTAGE2_BIT = 7         # token-step dist pair
+RESTAGE3_BIT = 12        # token-step extra row
 
 NP_ROWS = 12             # small prob tables as [B, NP_ROWS, 128] tile
 
@@ -290,8 +296,8 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
     arrays.  NB: framing block table width."""
     import os as _os
     _ABL = set(filter(None, _os.environ.get("PDK_ABL", "").split(",")))
-    KBITS = int(_os.environ.get("PDK_KBITS", "10"))
-    assert KBITS >= 10, "chained token step needs 10 bits"
+    KBITS = int(_os.environ.get("PDK_KBITS", "16"))
+    assert KBITS >= 16, "fused token+dist step needs 16 bits"
     # PDK_DUP: profiling ablation by DUPLICATION — re-run a section with
     # a runtime-zero perturbation (dz) and discard the result through a
     # runtime-false select, so semantics are unchanged but the section's
@@ -384,9 +390,10 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                                 jnp.where(is_bit0, KBITS, 0))
             rc_miss = (rc_need > 0) & ((rc_ptr < rc_base)
                                        | (rc_ptr + rc_need > rc_base + TILE))
-            # DISTSLOT steps may consume <=16 fused direct bits (high
+            # token/dist steps may consume <=16 fused direct bits (high
             # dist bits, csc_dec.cpp:259-263) -> need bc residency too
-            bc_miss = (is_dir0 | (is_bit0 & (fsm == F_DISTSLOT))) \
+            # (is_cpy0: completed copies chain into a full token step)
+            bc_miss = (is_dir0 | is_bit0 | is_cpy0) \
                 & ((bc_ptr < bc_base) | (bc_ptr + 4 > bc_base + TILE))
 
             # literal-group residency: LITTREE/ENTTREE use p_lit[ctx]
@@ -618,12 +625,14 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             slv, ebv = g("slot"), g("ebits")
             dacc = jnp.zeros((B, 256), jnp.float32)
             snapA = jnp.zeros((B, 256), jnp.float32)
-            sw_mask = jnp.zeros((B,), jnp.bool_)
+            snapB = jnp.zeros((B, 256), jnp.float32)
+            m_lit = jnp.zeros((B,), jnp.bool_)    # -> literal/delta grp
+            m_ex5 = jnp.zeros((B,), jnp.bool_)    # dist-entry -> extra
+            m_dist2 = jnp.zeros((B,), jnp.bool_)  # token -> dist pair
+            m_ex12 = jnp.zeros((B,), jnp.bool_)   # token dist -> extra
+            npdp, nsb = pdp, jnp.clip(g("sbits"), 0, 5)
 
             for ibit in range(KBITS):
-                act = is_bit & (ph != PH_HALT)
-                if ibit < RESTAGE_BIT:
-                    act = act & ~((ph == PH_DEXTRA) & xwait)
                 if ibit == RESTAGE_BIT:
                     # stage the extra-nibble row for slot->extra streams
                     sw2 = (ph == PH_DEXTRA) & xwait & is_bit
@@ -638,7 +647,48 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                     comb = jnp.where(swc,
                                      jnp.concatenate([exw, exw], axis=1),
                                      comb)
-                    sw_mask = sw_mask | sw2
+                    m_ex5 = m_ex5 | sw2
+                if ibit == RESTAGE2_BIT:
+                    # token-step fusion: len trees are done by bit 6;
+                    # stage the dist row pair (static rows 6||7) and
+                    # enter the slot tree in the SAME step
+                    swd = (ph == PH_DWAIT) & is_bit
+                    swc = _col(swd)
+                    snapA = jnp.where(swc, dacc, snapA)
+                    dacc = jnp.where(swc, 0, dacc)
+                    comb = jnp.where(
+                        swc, jnp.concatenate([probs[:, 6, :],
+                                              probs[:, 7, :]], axis=1),
+                        comb)
+                    m_dist2 = m_dist2 | swd
+                    ph = jnp.where(swd, PH_DSLOT, ph)
+                    baser = jnp.where(swd, npdp, baser)
+                    lim = jnp.where(swd, 1 << nsb, lim)
+                    node = jnp.where(swd, 1, node)
+                    idxr = jnp.where(swd, npdp + 1, idxr)
+                if ibit == RESTAGE3_BIT:
+                    # token-step extra row (slot tree done by bit 11)
+                    sw3 = (ph == PH_DEXTRA) & m_dist2 & is_bit
+                    exrow3 = jnp.clip(8 + ((ebv - 1) >> 3), 8, NP_ROWS - 1)
+                    exw3 = jax.lax.cond(
+                        jnp.any(sw3),
+                        lambda: _tile_one(probs, exrow3, nrows=NP_ROWS),
+                        lambda: jnp.zeros((B, 128), jnp.float32))
+                    swc = _col(sw3)
+                    snapB = jnp.where(swc, dacc, snapB)
+                    dacc = jnp.where(swc, 0, dacc)
+                    comb = jnp.where(swc,
+                                     jnp.concatenate([exw3, exw3], axis=1),
+                                     comb)
+                    m_ex12 = m_ex12 | sw3
+
+                # act AFTER the restage conversions (a converted lane
+                # decodes its first slot/extra bit in this same bit)
+                act = is_bit & (ph != PH_HALT) & (ph != PH_DWAIT)
+                if ibit < RESTAGE_BIT:
+                    act = act & ~((ph == PH_DEXTRA) & xwait)
+                if ibit < RESTAGE3_BIT:
+                    act = act & ~((ph == PH_DEXTRA) & m_dist2)
 
                 # rc refill BEFORE the bit (csc_dec.cpp:11-22); block ids
                 # are derived lazily at chunk resets, not tracked here
@@ -736,9 +786,17 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                 lenv = jnp.where(m3, lb + (node2 & 7), lb + (node2 & 127))
                 golong = mlc & (lp == 0) & (lenv == 143)
                 mlen_done = mlc & ~golong
-                wlr = jnp.where(mlen_done,
-                                jnp.where(lp == 0, lenv, la + lenv), wlr)
-                H(mlen_done, EX_LENDONE)
+                wl2 = jnp.where(lp == 0, lenv, la + lenv)
+                wlr = jnp.where(mlen_done, wl2, wlr)
+                # match lens finish by bit 6 on every fusable path, so
+                # the dist trees run IN THIS STEP (PH_DWAIT converts to
+                # PH_DSLOT at RESTAGE2_BIT); rep/rle lens exit to copy
+                mlm = mlen_done & (lf == LF_MATCH)
+                wl_c2 = jnp.minimum(wl2, 6)
+                npdp = jnp.where(mlm, _lut(wl_c2, _PPDIST_POS_NP), npdp)
+                nsb = jnp.where(mlm, _lut(wl_c2, _PDIST_BITS), nsb)
+                nph = jnp.where(mlm, PH_DWAIT, nph)
+                H(mlen_done & (lf != LF_MATCH), EX_LENDONE)
                 T(golong & m3, PH_LONG, jnp.full_like(fsm, 159),
                   jnp.full_like(fsm, 2))
                 H(golong & m7, EX_LONG)
@@ -809,29 +867,40 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                     snapA = jnp.where(swc1, dacc, snapA)
                     dacc = jnp.where(swc1, 0, dacc)
                     comb = jnp.where(swc1, lit_pair, comb)
-                    sw_mask = sw_mask | sw1b
+                    m_lit = m_lit | sw1b
 
-            # ---- flush the deferred prob deltas via MXU outer products
-            sw_c = _col(sw_mask)
-            deltaA = jnp.where(sw_c, snapA, dacc)
-            deltaB = jnp.where(sw_c, dacc, jnp.zeros_like(dacc))
-            sw1 = sw_mask & ((fsm == F_FLAG1) | (fsm == F_RLEFLAG))
-            sw2m = sw_mask & xwait
+            # ---- flush the deferred prob deltas via MXU outer products.
+            # Up to three windows per stream: d1 = the entry window
+            # (state||len, or the group subtree for gc entries), d2 =
+            # the first switch target (literal subtree / dist pair /
+            # dist-entry extra row), d3 = the token-path extra row.
+            swA = m_lit | m_ex5 | m_dist2
+            d1 = jnp.where(_col(swA), snapA, dacc)
+            d2 = jnp.where(_col(m_ex12), snapB,
+                           jnp.where(_col(swA), dacc, 0.0))
+            d3 = jnp.where(_col(m_ex12), dacc, 0.0)
             gc_c = _col(use_gc)
-            grp_delta = jnp.where(gc_c, deltaA,
-                                  jnp.where(_col(sw1), deltaB, 0.0))
-            probsA = jnp.where(gc_c, 0.0, deltaA)
-            probsB = jnp.where(_col(sw2m), deltaB, 0.0)
+            grp_delta = jnp.where(gc_c, d1,
+                                  jnp.where(_col(m_lit), d2, 0.0))
+            probs1 = jnp.where(gc_c, 0.0, d1)
+            dist2 = jnp.where(_col(m_dist2), d2, 0.0)
+            dex = jnp.where(_col(m_ex12), d3[:, :128],
+                            jnp.where(_col(m_ex5), d2[:, :128], 0.0))
             exrow_wb = jnp.clip(8 + ((ebv - 1) >> 3), 8, NP_ROWS - 1)
+            r6 = jnp.full_like(fsm, 6)
+            r7 = jnp.full_like(fsm, 7)
 
             def _wb_probs(_):
                 ohp = jnp.stack([
                     _row_onehot(lo_row, NP_ROWS).astype(jnp.float32),
                     _row_onehot(hi_row, NP_ROWS).astype(jnp.float32),
+                    _row_onehot(r6, NP_ROWS).astype(jnp.float32),
+                    _row_onehot(r7, NP_ROWS).astype(jnp.float32),
                     _row_onehot(exrow_wb, NP_ROWS).astype(jnp.float32),
-                ], axis=1)                               # [B,3,NP_ROWS]
-                dparts = jnp.stack([probsA[:, :128], probsA[:, 128:],
-                                    probsB[:, :128]], axis=1)  # [B,3,128]
+                ], axis=1)                               # [B,5,NP_ROWS]
+                dparts = jnp.stack([probs1[:, :128], probs1[:, 128:],
+                                    dist2[:, :128], dist2[:, 128:],
+                                    dex], axis=1)        # [B,5,128]
                 upd_p = jax.lax.dot_general(
                     ohp, dparts, (((1,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32)
@@ -842,7 +911,7 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             jax.lax.cond(jnp.any(need_small & is_bit), _wb_probs,
                          lambda _: 0, 0)
 
-            use_gc2 = use_gc | sw1
+            use_gc2 = use_gc | m_lit
 
             def _wb_grp(_):
                 ohg = jnp.stack([
@@ -861,13 +930,15 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             rc_ptr2 = rcp
 
             # post-loop exit masks (transition dispatch below)
-            lit_chain = sw1
+            lit_chain = m_lit
             exitk = jnp.where(is_bit, exitk, EX_NONE)
-            # fused direct bits: entry-DISTSLOT matches with 4<eb<=20
-            # read their high dist bits from the bc stream THIS step (the
-            # rc slot+nibble order matches the encoder; rc and bc are
+            # fused direct bits: matches whose extra nibble completed
+            # THIS step (token-fused or dist-entry) with 4<eb<=20 read
+            # their high dist bits from the bc stream now (the rc
+            # slot+nibble order matches the encoder; rc and bc are
             # independent substreams, csc_memio.cpp:83-108)
-            fuse_dir = (exitk == EX_MATCH) & xwait & (slv > 2) & (ebv > 4)
+            fuse_dir = (exitk == EX_MATCH) & (xwait | m_dist2) \
+                & (slv > 2) & (ebv > 4)
 
             # =================== DIRECT micro-op =========================
             # serves both dedicated DIRECT steps and the fused high-dist
@@ -996,6 +1067,8 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             upd("rep_idx", is_bit, ri)
             upd("slot", is_bit, slv)
             upd("ebits", is_bit, ebv)
+            upd("pdist_pos", is_bit, npdp)
+            upd("sbits", is_bit, nsb)
 
             # --- EX_LIT: literal byte complete (csc_dec.cpp:513-521)
             lit_done = exitk == EX_LIT
@@ -1086,7 +1159,9 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                         + (elen_v << 4) + rev)
             dist_raw = jnp.where(small, slv, dist_big)
             upd("mstate", mc, (g("mstate") * 4 + 1) & 0x3F)
-            sentinel = mc & (g("wire_len") == 0) & (dist_raw == 64)
+            # fused token steps decode len and dist in the SAME step:
+            # read the loop-local wire length, not last step's register
+            sentinel = mc & (wlr == 0) & (dist_raw == 64)
             normal_match = mc & ~sentinel
             nd = dist_raw + 1
             upd("dist", normal_match, nd)
@@ -1095,7 +1170,7 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             for k, v in enumerate([nd, reps[:, 0], reps[:, 1], reps[:, 2]]):
                 upd(f"rep{k}", normal_match, v)
             upd("cpy_src", normal_match, wnd_eff - nd)
-            upd("cpy_rem", normal_match, g("wire_len") + 2)
+            upd("cpy_rem", normal_match, wlr + 2)
             upd("cpy_done", normal_match, 0)
             upd("fsm", normal_match, F_COPY)
             upd("fsm", sentinel, F_INTSLOT)

@@ -171,6 +171,9 @@ def _make_kernel(B, C, NS, NTS, RMAX, good_len):
                                       ref[:, row0 + s, :], 0)
             return jnp.sum(jnp.where(lane_oh, acc, 0), axis=1)
 
+        import os as _os
+        _DUP = set(filter(None, _os.environ.get("PPK_DUP", "").split(",")))
+
         # ---------------- vector phase --------------------------------
         def vstep(rg):
             g = lambda n: rg[_RI[n]]
@@ -197,6 +200,8 @@ def _make_kernel(B, C, NS, NTS, RMAX, good_len):
                 i = _RI[name]
                 new[i] = jnp.where(cond, val, new[i])
 
+            dz = max_steps_ref[0, 0] >> 30       # runtime 0 (profiling)
+            dcol = jnp.full((B, 1), dz) != 0     # runtime False
             is_find0 = live & (fsm == S_FIND)
             is_ext0 = live & (fsm == S_EXT)
             is_blk = live & (fsm == S_BLOCK)
@@ -291,6 +296,9 @@ def _make_kernel(B, C, NS, NTS, RMAX, good_len):
             cds, cls = [], []
             for c in range(C):
                 pk = tile_gather(cw, c * TS, csub, clane)
+                if "cand" in _DUP:
+                    pk2 = tile_gather(cw, c * TS, csub, clane + dz)
+                    pk = jnp.where(dz != 0, pk2, pk)
                 cds.append(pk >> 5)
                 cls.append(pk & 31)
 
@@ -416,6 +424,9 @@ def _make_kernel(B, C, NS, NTS, RMAX, good_len):
             # per-step cost at ~2.6 us per 16-row pair staging
             shared_sub = jnp.clip(poff, 0, TILE - 129) >> 7
             pw_shared = stage_pair(pw, shared_sub)
+            if "shared" in _DUP:
+                pw_shared = jnp.where(
+                    dcol, stage_pair(pw, shared_sub + dz), pw_shared)
 
             al = alive_cur
             nrounds = max(R_INL, R_EXT)
@@ -725,11 +736,12 @@ def _make_kernel(B, C, NS, NTS, RMAX, good_len):
             oh1 = _row_onehot(woff1 >> 7, TS)
             m0 = (lane128 == (woff0 & 127)[:, None]) & onc
             m1 = (lane128 == (woff1 & 127)[:, None]) & onc
-            for s in range(TS):
-                row = tok_t[:, s, :]
-                row = jnp.where(oh0[:, s:s + 1] & m0, w0[:, None], row)
-                row = jnp.where(oh1[:, s:s + 1] & m1, w1[:, None], row)
-                tok_t[:, s, :] = row
+            for _rep in range(2 if "tok" in _DUP else 1):
+                for s in range(TS):
+                    row = tok_t[:, s, :]
+                    row = jnp.where(oh0[:, s:s + 1] & m0, w0[:, None], row)
+                    row = jnp.where(oh1[:, s:s + 1] & m1, w1[:, None], row)
+                    tok_t[:, s, :] = row
             upd("tok_cnt", tok_on, tok_cnt + 1)
 
             nl = new[_RI["tok_cnt"]] * 2
@@ -844,6 +856,8 @@ def _make_kernel(B, C, NS, NTS, RMAX, good_len):
             step, rg = carry
             new = vstep(rg)
             service()
+            if "serv" in _DUP:
+                service()
             return step + 1, tuple(new)
 
         rg0 = tuple(regs_ref[i, :] for i in range(NR))

@@ -191,12 +191,56 @@ def precompute_candidates(data_np, sizes, run_ends_np, hash_bits,
         in4_t = jnp.tile(in4, (3, 1))
         blk_t = jnp.tile(blk_end_d, (3, 1))
         lns = _tt("ext_lens", _ext_lens, in4_t, qs, blk_t, int(cap))
-    cand = _precompute_dev(data_d, blk_end_d, int(hash_bits),
-                           int(hash_width), int(cap))
+    cand = _precompute_staged(data_d, blk_end_d, int(hash_bits),
+                              int(hash_width), int(cap))
     if _dbg:
         jax.block_until_ready(cand)
         print(f"[pre] device {_time.time() - _t0:.3f}s")
     return cand, data_d
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _chains_dev(p6, N, hash_width):
+    chains = [p6]
+    cur = p6
+    for _ in range(1, hash_width):
+        nxt = jnp.take_along_axis(cur, jnp.clip(cur, 0, N - 1), axis=1)
+        cur = jnp.where(cur >= 0, nxt, -1)
+        chains.append(cur)
+    return chains
+
+
+@jax.jit
+def _assemble_dev(chains, lns_list):
+    out = []
+    N = chains[0].shape[1]
+    posn = jnp.arange(N, dtype=jnp.int32)[None, :]
+    for q, ln in zip(chains, lns_list):
+        out.append(jnp.where(q >= 0, posn - q, 0))
+        out.append(ln)
+    return jnp.stack(out, axis=1)
+
+
+def _precompute_staged(data_d, blk_end_d, hash_bits, hash_width, cap):
+    """Stage-jitted variant of _precompute_dev: the fully fused program
+    MISCOMPILES on the axon XLA backend at some batch shapes (observed:
+    B=3 x 393216 — the extension-length rows silently come back 0 while
+    the decomposed stages are correct; chip-vs-CPU diff recorded round
+    4).  Stage boundaries keep every op identical, only fusion differs;
+    throughput is within noise (the stages are all big ops)."""
+    B, N = data_d.shape
+    in4, h2, h3, h6 = _hashes(data_d, blk_end_d, hash_bits, N)
+    hs = jnp.concatenate([h2, h3, h6], axis=0)
+    prev = _prev_occ(hs)
+    chains = [prev[:B], prev[B:2 * B]] + _chains_dev(prev[2 * B:], N,
+                                                    hash_width)
+    nc = len(chains)
+    qs = jnp.concatenate(chains, axis=0)
+    in4_t = jnp.tile(in4, (nc, 1))
+    blk_t = jnp.tile(blk_end_d, (nc, 1))
+    lns = _ext_lens(in4_t, qs, blk_t, cap)
+    lns_list = [lns[k * B:(k + 1) * B] for k in range(nc)]
+    return _assemble_dev(chains, lns_list)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
