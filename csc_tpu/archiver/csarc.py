@@ -337,10 +337,19 @@ def _decompress_task_streaming(args):
         props = read_properties(rd.read(10))
         dec = _stream.StreamDecoder(rd, props)
         pos = 0
+        cursor = 0   # filelist is posblock-sorted: fragments fully
+        #              below pos never overlap again (VERDICT r3 #9 —
+        #              O(files + blocks) instead of O(files x blocks))
         for raw in dec.blocks():
             end = pos + len(raw)
+            while (cursor < len(filelist)
+                   and filelist[cursor].posblock
+                   + filelist[cursor].size <= pos):
+                cursor += 1
             # route the decoded range to every overlapping fragment
-            for fb in filelist:
+            for fb in filelist[cursor:]:
+                if fb.posblock >= end:
+                    break
                 lo = max(pos, fb.posblock)
                 hi = min(end, fb.posblock + fb.size)
                 if lo >= hi:
@@ -378,25 +387,49 @@ def _route_output(raw, filelist):
 
 class _Progress:
     """Console progress bar (ProgressIndicator, csa_progress.cpp:11-69):
-    finished-task byte counts over the total, drawn on stderr."""
+    a dedicated 300 ms poll thread draws finished bytes plus the live
+    in-flight estimate (the reference polls per-worker processed_raw_;
+    workers here report via tick())."""
 
     def __init__(self, total, width=50):
         self.total = max(total, 1)
         self.done = 0
+        self.inflight = 0
         self.width = width
         self.enabled = sys.stderr.isatty()
+        self._stop = None
+        if self.enabled:
+            import threading
+            self._stop = threading.Event()
+            t = threading.Thread(target=self._poll, daemon=True)
+            t.start()
 
-    def add(self, n):
-        self.done += n
-        if not self.enabled:
-            return
-        frac = min(self.done / self.total, 1.0)
+    def _poll(self):
+        while not self._stop.wait(0.3):
+            self._draw()
+
+    def _draw(self):
+        frac = min((self.done + self.inflight) / self.total, 1.0)
         filled = int(self.width * frac)
         sys.stderr.write("\r[%s%s] %3d%% done" % (
             "=" * filled, " " * (self.width - filled), int(frac * 100)))
-        if frac >= 1.0:
-            sys.stderr.write("\n")
         sys.stderr.flush()
+
+    def tick(self, n):
+        """Live in-flight bytes (per 2 MB raw block / device group)."""
+        self.inflight = n
+
+    def add(self, n):
+        self.done += n
+        self.inflight = 0
+        if not self.enabled:
+            return
+        self._draw()
+        if self.done >= self.total:
+            if self._stop is not None:
+                self._stop.set()
+            sys.stderr.write("\n")
+            sys.stderr.flush()
 
 
 class CSArc:
