@@ -268,7 +268,7 @@ def encode_batch(props_list, datas):
         if _fast:
             by_bucket = {}
             for i in pidxs:
-                by_bucket.setdefault(_bucket(len(plans[i][0]) + 16),
+                by_bucket.setdefault(_bucket(len(plans[i][0])),
                                      []).append(i)
             groups = [by_bucket[k] for k in sorted(by_bucket)]
         else:
@@ -297,7 +297,11 @@ def _encode_group(idxs, plans, props_list, datas, outs, _dbg, _t0, _fast):
     # 1.5-step ladder: every XLA op downstream (gathers above all) pays
     # per padded element, and pow2 padding wastes up to 2x
     from .pallas_decode import _bucket15
-    n = _bucket15(max(sizes) + 16)
+    # no lookahead slack: the hash/extension machinery pads internally
+    # (parse_pre dd[+8]) and run-end masking covers the tail — a +16
+    # here pushed exact-power sizes into the next 1.5x bucket (50% more
+    # upload + precompute work for 16 KB streams)
+    n = _bucket15(max(sizes))
     bb = len(idxs)
     data_arr = np.zeros((bb, n), np.uint8)
     for j, x in enumerate(lz_inputs):
