@@ -75,6 +75,27 @@ def _ref_binary():
     return None
 
 
+def _ref_size_chunked(csc, chunks, level, tag):
+    """Sum of reference-compressed sizes over the SAME independent
+    chunks our encoder compresses (like-for-like: csc_enc.cpp streams
+    are per-task, csa_worker.cpp:35; whole-corpus single-stream sizes
+    exploit cross-chunk matches neither side's task sees)."""
+    import pickle
+    cache = f"/tmp/bench_refsz_{tag}_{level}_{len(chunks)}.pkl"
+    if os.path.exists(cache):
+        with open(cache, "rb") as f:
+            return pickle.load(f)
+    total = 0
+    for c in chunks:
+        s = _ref_size(csc, c, level)
+        if s is None:
+            return None
+        total += s
+    with open(cache, "wb") as f:
+        pickle.dump(total, f)
+    return total
+
+
 def _ref_size(csc, data, level):
     """Reference-compressed size of data at -m<level> (one stream)."""
     import tempfile
@@ -209,7 +230,8 @@ def main():
     if ref:
         for mname, cname, level in configs:
             seg = corpora[cname][:EB * CH]
-            rs = _ref_size(ref, seg, level)
+            chunks = [seg[i * CH:(i + 1) * CH] for i in range(EB)]
+            rs = _ref_size_chunked(ref, chunks, level, cname)
             if rs:
                 row = matrix[f"{mname}_{cname}"]
                 row["ref_ratio"] = round(rs / len(seg), 4)
