@@ -326,11 +326,10 @@ def _encode_group(idxs, plans, props_list, datas, outs, _dbg, _t0, _fast):
     _impl = _os.environ.get("CSC_ENCODE_BITS", "auto")
     _pb = _impl == "pallas" or (_impl == "auto"
                                 and jax.default_backend() != "cpu")
-    _has_dlt = any(r[0] >= DT_DLT for rt in run_tables for r in rt)
     _pk = _os.environ.get("CSC_ENCODE_PARSE", "auto") == "pallas" or (
         _fast and _os.environ.get("CSC_ENCODE_PARSE", "auto") == "auto")
 
-    if _fast and p0.lz_mode == 2 and _pk and _pb and not _has_dlt:
+    if _fast and p0.lz_mode == 2 and _pk and _pb:
         # Pallas parse kernel + device stitch + Pallas phase B: the
         # tapes never cross the host<->device tunnel
         from .parse_pre import precompute_candidates, pack_candidates
@@ -429,8 +428,7 @@ def _encode_group(idxs, plans, props_list, datas, outs, _dbg, _t0, _fast):
     _impl = _os.environ.get("CSC_ENCODE_BITS", "auto")
     _pb = _impl == "pallas" or (_impl == "auto"
                                 and jax.default_backend() != "cpu")
-    _has_dlt = any(r[0] >= DT_DLT for rt in run_tables for r in rt)
-    if _fast and p0.lz_mode == 2 and _pb and not _has_dlt:
+    if _fast and p0.lz_mode == 2 and _pb:
         # device-side stitch: the parse tape never crosses the tunnel
         from .stitch_dev import stitch_device
         if not np.asarray(final["done"]).all():

@@ -35,7 +35,8 @@ import jax.numpy as jnp
 from ..constants import DT_ENGTXT, DT_NO_LZ, DT_BAD, DT_ENTROPY, DT_DLT
 from .encode_scan import (K_END, K_SENT_A, K_LIT, K_MATCH, K_REP,
                           K_REP0L1)
-from .encode_bits import K_INT, K_SENT, K_FLUSH, K_RAW, K_ELIT
+from .encode_bits import (K_INT, K_SENT, K_FLUSH, K_RAW, K_ELIT, K_DLIT,
+                          K_RLEN)
 
 
 def plan_out_bound(run_tables, tl_in, dlt_toks=None):
@@ -260,8 +261,9 @@ def stitch_device_tapes(tapes, data_dev, run_tables, tl_out=None,
     of per-stream run tables from encode_host.plan_stream.  Returns
     (tkk, taa, tbb, tcc) device arrays [B, TL_out] plus TL_out.
     fill_from_data: reconstruct literal bytes / last-match bytes from
-    data (the Pallas parse kernel emits neither).  Caller must route
-    streams with DT_DLT runs to the host stitcher instead."""
+    data (the Pallas parse kernel emits neither).  DT_DLT runs ride the
+    packed aux token tape (module docstring): the host computes the RLE
+    skeleton per run and uploads 4 B/token."""
     from .pipeline import _bucket
 
     tk = tapes[0]
@@ -283,11 +285,45 @@ def stitch_device_tapes(tapes, data_dev, run_tables, tl_out=None,
             rvalid[j, k] = 1
             loff[j, k] = acc
             acc += ln
+    # DT_DLT aux tape: per-run RLE skeletons, packed kind<<30 | b<<8 | a
+    aux = astart = aplen_d = None
+    if any(t >= DT_DLT for rt in run_tables for (t, *_r) in rt):
+        from .encode_host import rle_tape
+        from .encode_bits import K_RLEN as _KR
+        dlt_toks = [[0] * len(rt) for rt in run_tables]
+        packs = [[] for _ in run_tables]
+        astart_np = np.zeros((B, R), np.int32)
+        aplen_np = np.zeros((B, R), np.int32)
+        for j, rt in enumerate(run_tables):
+            acc = 0
+            for k, (t, ln, decl, last, pl) in enumerate(rt):
+                if t >= DT_DLT:
+                    kk_, aa_, bb_ = rle_tape(np.frombuffer(pl, np.uint8))
+                    packs[j].append(((kk_ == _KR).astype(np.int32) << 30)
+                                    | (bb_ << 8) | aa_)
+                    dlt_toks[j][k] = len(kk_)
+                    astart_np[j, k] = acc
+                    aplen_np[j, k] = len(kk_)
+                    acc += len(kk_)
+        auxl = _bucket(max(1, max(sum(len(p) for p in ps)
+                                  for ps in packs)), 256)
+        aux_np = np.zeros((B, auxl), np.int32)
+        for j, ps in enumerate(packs):
+            if ps:
+                cat = np.concatenate(ps)
+                aux_np[j, :len(cat)] = cat
+        aux = jnp.asarray(aux_np)
+        astart = jnp.asarray(astart_np)
+        aplen_d = jnp.asarray(aplen_np)
+    else:
+        dlt_toks = None
     if tl_out is None:
         from .pallas_decode import _bucket15
-        tl_out = _bucket15(plan_out_bound(run_tables, TL_in), 1024)
+        tl_out = _bucket15(plan_out_bound(run_tables, TL_in, dlt_toks),
+                           1024)
     kk, aa, bb, cc = _stitch_dev(
         tapes, data_dev, jnp.asarray(rtype), jnp.asarray(rdecl),
         jnp.asarray(rlen), jnp.asarray(rlast), jnp.asarray(rvalid),
-        jnp.asarray(loff), int(tl_out), bool(fill_from_data))
+        jnp.asarray(loff), int(tl_out), bool(fill_from_data),
+        aux=aux, astart=astart, aplen=aplen_d)
     return kk, aa, bb, cc, int(tl_out)

@@ -80,3 +80,20 @@ def test_stitch_dev_bad_entropy_payloads(monkeypatch):
     for p, h, d, raw in zip(ps, host, dev, datas):
         assert h == d
         assert decompress_stream(p, d, 0) == raw
+
+
+def test_stitch_dev_dlt_aux_tape(monkeypatch, corpus_dir):
+    # DT_DLT runs ride the packed aux token tape (stitch_dev module
+    # docstring; csc_model.cpp:471-513 CompressRLE skeleton) instead of
+    # forcing the whole stream onto the host stitcher
+    with open(os.path.join(corpus_dir, "corpus_delta.bin"), "rb") as f:
+        delta = f.read()
+    datas = [delta[:8192], _mk_text(8192, 7),
+             delta[8192:16384] + _mk_text(4096, 8)]
+    ps = [props_init(len(d), 2) for d in datas]
+    host, dev = _encode_both(ps, datas, monkeypatch)
+    from csc_tpu.ops import pipeline
+    assert pipeline.LAST_ENCODE_FALLBACKS == 0
+    for p, h, d, raw in zip(ps, host, dev, datas):
+        assert h == d
+        assert decompress_stream(p, d, 0) == raw
