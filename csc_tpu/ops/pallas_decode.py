@@ -1742,12 +1742,21 @@ def _run(B, NWS, NRCS, NBCS, NB, interpret,
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
 def _run_fused(B, NWS, NRCS, NBCS, NB, interpret, lmax,
                max_steps, rc_ends, bc_ends, rc_u8, bc_u8):
     """One-device-call decode: widen the u8 coder inputs, build the
     window/prob/reg initial states, run the kernel, and pack the output
     bytes — all inside a single jit (the axon tunnel costs ~24 ms per
-    device call, so every fused call is wall time saved)."""
+    device call, so every fused call is wall time saved).
+
+    Returns ONE combined [B, lmax/4 + 2*NBLK_LOG + NR + 1] i32 array:
+      [:, :lmax/4]        packed output bytes (4 per i32)
+      [:, +2*NBLK_LOG]    blklog
+      [:, +NR]            regs (batch-major)
+      [:, -1]             steps (broadcast)
+    A single D2H transfer instead of four: each distinct pull over the
+    axon tunnel costs ~35 ms latency regardless of size."""
     rc_hbm = _widen(rc_u8, NRCS)
     bc_hbm = _widen(bc_u8, NBCS)
     wnd = jnp.zeros((B, NWS, 128), jnp.int32)
@@ -1763,7 +1772,9 @@ def _run_fused(B, NWS, NRCS, NBCS, NB, interpret, lmax,
                 wnd, plit, pdlt)
     wnd_o, _, _, regs_o, blklog, steps = outs
     packed = _pack_bytes(wnd_o, lmax)
-    return packed, regs_o, blklog, steps
+    return jnp.concatenate(
+        [packed, blklog, regs_o.T,
+         jnp.broadcast_to(steps.reshape(1, 1), (B, 1))], axis=1)
 
 
 def _run_fused_sharded(mesh, B, NWS, NRCS, NBCS, NB, interpret, lmax,
@@ -1787,8 +1798,7 @@ def _run_fused_sharded(mesh, B, NWS, NRCS, NBCS, NB, interpret, lmax,
     fn = shard_map(f, mesh=mesh,
                    in_specs=(P(None, None), P(axes, None), P(axes, None),
                              bspec, bspec),
-                   out_specs=(bspec, P(None, axes), bspec,
-                              P(axes, None)),
+                   out_specs=P(axes, None),
                    check_rep=False)
     return jax.jit(fn)(max_steps, rc_ends, bc_ends, rc_u8, bc_u8)
 
@@ -1837,6 +1847,18 @@ def decode_batch_pallas(props_list, blobs, positions=None, out_sizes=None,
     the rest)."""
     from . import framing
 
+    import os as _os2
+    import time as _tm
+    _t2 = bool(_os2.environ.get("CSC_DECODE_TIMING2"))
+    _tt = _tm.time()
+
+    def _lap(tag):
+        nonlocal _tt
+        if _t2:
+            now = _tm.time()
+            print(f"[dec] {tag} {now - _tt:.3f}s")
+            _tt = now
+
     b = len(blobs)
     assert b > 0
     if positions is None:
@@ -1869,6 +1891,7 @@ def decode_batch_pallas(props_list, blobs, positions=None, out_sizes=None,
     bc_i = np.zeros((b, nbc), np.uint8)
     bc_i[:, :bc.shape[1]] = bc
 
+    _lap("demux+pad")
     if out_sizes is not None:
         wmax = max(max(out_sizes), 1024)
     else:
@@ -1925,24 +1948,30 @@ def decode_batch_pallas(props_list, blobs, positions=None, out_sizes=None,
                     jnp.asarray(be2[idx]), jnp.asarray(rc_i[idx]),
                     jnp.asarray(bc_i[idx]))
             if mesh is not None:
-                packed, regs_o, blklog, steps = _run_fused_sharded(
+                comb = _run_fused_sharded(
                     mesh, gb, nw // 128, nrc // 128, nbc // 128, nb,
                     bool(interpret), lmax, *args)
             else:
-                packed, regs_o, blklog, steps = _run_fused(
+                comb = _run_fused(
                     gb, nw // 128, nrc // 128, nbc // 128, nb,
                     bool(interpret), lmax, *args)
             if _timing:
-                regs_o.block_until_ready()
+                comb.block_until_ready()
                 global LAST_KERNEL_SECONDS
                 LAST_KERNEL_SECONDS = __import__("time").time() - _t0
-            handles.append((idx, regs_o, blklog, packed, steps))
+            handles.append((idx, comb))
 
+        _lap("device_call")
         regrow = False
-        for idx, regs_o, blklog, packed, steps in handles:
-            regs_np = np.asarray(regs_o)
+        po = lmax // 4
+        for idx, comb in handles:
+            comb_np = np.asarray(comb)
+            _lap("output pull")
+            blklog_np = comb_np[:, po:po + 2 * NBLK_LOG]
+            regs_np = comb_np[:, po + 2 * NBLK_LOG:
+                              po + 2 * NBLK_LOG + NR].T
             max_steps_seen = max(max_steps_seen,
-                                 int(np.asarray(steps).max()))
+                                 int(comb_np[:, -1].max()))
             if (out_sizes is None
                     and int(regs_np[_RI["wnd_pos"]].max()) > wmax):
                 # decode without declared sizes outgrew the dict-sized
@@ -1955,8 +1984,8 @@ def decode_batch_pallas(props_list, blobs, positions=None, out_sizes=None,
                 wmax = int(regs_np[_RI["wnd_pos"]].max()) * 2
                 regrow = True
                 break
-            blklog_np = np.asarray(blklog)
-            wnd_np = np.asarray(packed).view(np.uint8)
+            wnd_np = np.ascontiguousarray(
+                comb_np[:, :po]).view(np.uint8)
 
             out_pos = regs_np[_RI["wnd_pos"]]
             done = regs_np[_RI["done"]]
@@ -1999,6 +2028,7 @@ def decode_batch_pallas(props_list, blobs, positions=None, out_sizes=None,
                             seg, DLT_INDEX[btype - DT_DLT])
                         raw[start:end] = seg
                 outputs[i] = bytes(raw)
+            _lap("post-pass")
         if not regrow:
             break
         outputs = [None] * b
