@@ -1250,6 +1250,17 @@ def _pack_bytes(arr, lmax):
             | (w[:, 3::4] << 24))
 
 
+@functools.partial(jax.jit, static_argnums=(5, 6))
+def _pack_outputs(rc_o, bc_o, rcmap, bcmap, clog, lr, lb):
+    """Pack both coder outputs and concatenate every phase-B result into
+    ONE i32 array ([B, lr/4 | lb/4 | rcmap | bcmap | clog]): a single
+    device call + a single D2H transfer (each distinct pull over the
+    axon tunnel costs ~35 ms latency regardless of size)."""
+    return jnp.concatenate(
+        [_pack_bytes(rc_o, lr), _pack_bytes(bc_o, lb),
+         rcmap, bcmap, clog], axis=1)
+
+
 def encode_bits_pallas(tok_kind, tok_a, tok_b, tok_c, max_rc, max_bc,
                        bsize=65536, kbits=None, interpret=False,
                        max_steps=None):
@@ -1321,11 +1332,14 @@ def encode_bits_pallas(tok_kind, tok_a, tok_b, tok_c, max_rc, max_bc,
 
     lr = min(_bucket(max(int(rc_cnt.max()), 4)), nrs)
     lb = min(_bucket(max(int(bc_cnt.max()), 4)), nbs)
-    rc_np = np.asarray(_pack_bytes(rc_o, lr)).view(np.uint8)
-    bc_np = np.asarray(_pack_bytes(bc_o, lb)).view(np.uint8)
-    rcmap_np = np.asarray(rcmap)
-    bcmap_np = np.asarray(bcmap)
-    clog_np = np.asarray(clog)
+    comb = np.asarray(_pack_outputs(rc_o, bc_o, rcmap, bcmap, clog,
+                                    lr, lb))
+    o1, o2 = lr // 4, lr // 4 + lb // 4
+    rc_np = np.ascontiguousarray(comb[:, :o1]).view(np.uint8)
+    bc_np = np.ascontiguousarray(comb[:, o1:o2]).view(np.uint8)
+    rcmap_np = comb[:, o2:o2 + rcmap.shape[1]]
+    bcmap_np = comb[:, o2 + rcmap.shape[1]:o2 + 2 * rcmap.shape[1]]
+    clog_np = comb[:, o2 + 2 * rcmap.shape[1]:]
 
     if _dbg:
         print(f"[bits] pulls {_time.time() - _t0:.2f}s")
