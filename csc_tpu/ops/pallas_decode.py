@@ -1742,7 +1742,6 @@ def _run(B, NWS, NRCS, NBCS, NB, interpret,
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
 def _run_fused(B, NWS, NRCS, NBCS, NB, interpret, lmax,
                max_steps, rc_ends, bc_ends, rc_u8, bc_u8):
     """One-device-call decode: widen the u8 coder inputs, build the
@@ -1836,6 +1835,27 @@ def _pack_bytes(wnd_o, lmax):
 def _widen(u8_arr, ns):
     """[B, N] u8 -> [B, ns, 128] byte-per-i32-lane (device-side)."""
     return u8_arr.astype(jnp.int32).reshape(u8_arr.shape[0], ns, 128)
+
+
+def _pull_parallel(comb, nparts=4, min_bytes=4 << 20):
+    """D2H pull of a [B, W] device array over concurrent row-slices.
+
+    The axon tunnel serializes per-transfer at ~7-17 MB/s but carries
+    ~25-29 MB/s over 4 concurrent streams for multi-MB payloads
+    (measured round 5); below ~4 MB the extra per-slice device ops and
+    transfer setups lose to a single shot, so small arrays keep the
+    single np.asarray.  A real PCIe host is indifferent either way."""
+    if comb.size * 4 < min_bytes or comb.shape[0] < nparts:
+        return np.asarray(comb)
+    from concurrent.futures import ThreadPoolExecutor
+    b = comb.shape[0]
+    bounds = [b * i // nparts for i in range(nparts + 1)]
+    parts = [comb[bounds[i]:bounds[i + 1]] for i in range(nparts)]
+    for p in parts:
+        p.block_until_ready()
+    with ThreadPoolExecutor(nparts) as ex:
+        rows = list(ex.map(np.asarray, parts))
+    return np.concatenate(rows, axis=0)
 
 
 def decode_batch_pallas(props_list, blobs, positions=None, out_sizes=None,
@@ -1965,7 +1985,7 @@ def decode_batch_pallas(props_list, blobs, positions=None, out_sizes=None,
         regrow = False
         po = lmax // 4
         for idx, comb in handles:
-            comb_np = np.asarray(comb)
+            comb_np = _pull_parallel(comb)
             _lap("output pull")
             blklog_np = comb_np[:, po:po + 2 * NBLK_LOG]
             regs_np = comb_np[:, po + 2 * NBLK_LOG:

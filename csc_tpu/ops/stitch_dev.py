@@ -299,6 +299,12 @@ def stitch_device_tapes(tapes, data_dev, run_tables, tl_out=None,
             for k, (t, ln, decl, last, pl) in enumerate(rt):
                 if t >= DT_DLT:
                     kk_, aa_, bb_ = rle_tape(np.frombuffer(pl, np.uint8))
+                    # bb_ shares bits 8..29 with the kind flag at bit 30:
+                    # a run length >= 2^22+11 would corrupt the packing
+                    # (unreachable below ~4 MB payloads, but the encode
+                    # cap is env-tunable)
+                    assert int(bb_.max(initial=0)) < (1 << 22), \
+                        "DLT run length overflows aux-tape packing"
                     packs[j].append(((kk_ == _KR).astype(np.int32) << 30)
                                     | (bb_ << 8) | aa_)
                     dlt_toks[j][k] = len(kk_)

@@ -19,6 +19,7 @@ from csc_tpu.ops import pallas_decode as pd  # noqa: E402
 from csc_tpu.ops import framing  # noqa: E402
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+CH = int(sys.argv[2]) if len(sys.argv) > 2 else 16384
 variant = os.environ.get("PDK_PROF", "full") or "full"
 
 
@@ -33,18 +34,21 @@ def mk_text(n, seed=0):
 
 
 import pickle
-cache = f"/tmp/prof_blobs_{B}.pkl"
+cache = f"/tmp/prof_blobs_{B}.pkl" if CH == 16384 \
+    else f"/tmp/prof_blobs_{B}_{CH}.pkl"
 ps = []
 for _ in range(B):
-    p = props_init(32 * 1024, 1)
+    p = props_init(max(32 * 1024, CH), 1)
     p.DLTFilter = p.EXEFilter = p.TXTFilter = 0
     ps.append(p)
 if os.path.exists(cache):
     with open(cache, "rb") as f:
         datas, blobs = pickle.load(f)
 else:
-    datas = [mk_text(16384, s) for s in range(B)]
-    blobs = [encode_stream(p, d) for p, d in zip(ps, datas)]
+    datas = [mk_text(CH, s) for s in range(B)]
+    from concurrent.futures import ProcessPoolExecutor
+    with ProcessPoolExecutor(4) as _pool:
+        blobs = list(_pool.map(encode_stream, ps, datas))
     with open(cache, "wb") as f:
         pickle.dump((datas, blobs), f)
 
@@ -63,7 +67,7 @@ nrc = pd._bucket(rcp.shape[1] + pd.TILE + 8)
 nbc = pd._bucket(bcp.shape[1] + pd.TILE + 8)
 rc_i = np.zeros((B, nrc), np.int32); rc_i[:, :rcp.shape[1]] = rcp
 bc_i = np.zeros((B, nbc), np.int32); bc_i[:, :bcp.shape[1]] = bcp
-wmax = 16384
+wmax = CH
 nw = pd._bucket(wmax + 2 * pd.TILE, 4096)
 
 regs = np.zeros((pd.NR, B), np.int32)
@@ -91,10 +95,16 @@ def run(nsteps):
 
 N1 = int(os.environ.get("PDK_N1", "2000"))
 N2 = int(os.environ.get("PDK_N2", "22000"))
+REPS = int(os.environ.get("PDK_REPS", "5"))
 run(N1)  # compile + warm
-t0 = time.time(); s1 = run(N1); t1 = time.time()
-s2 = run(N2); t2 = time.time()
-per = (t2 - t1 - (t1 - t0)) / max(s2 - s1, 1) * 1e6
+run(N2)
+best = None
+for _ in range(REPS):
+    t0 = time.time(); s1 = run(N1); t1 = time.time()
+    s2 = run(N2); t2 = time.time()
+    per = (t2 - t1 - (t1 - t0)) / max(s2 - s1, 1) * 1e6
+    if best is None or per < best:
+        best, bt1, bt2, bs1, bs2 = per, t1 - t0, t2 - t1, s1, s2
 dup = os.environ.get("PDK_DUP", "")
-print(f"variant={variant} dup={dup} B={B} t(N1={s1})={t1 - t0:.3f}s "
-      f"t(N2={s2})={t2 - t1:.3f}s marginal={per:.2f} us/step")
+print(f"variant={variant} dup={dup} B={B} t(N1={bs1})={bt1:.3f}s "
+      f"t(N2={bs2})={bt2:.3f}s marginal={best:.2f} us/step")
