@@ -242,10 +242,10 @@ def rle_tape(seg):
             np.concatenate(bb).astype(np.int32))
 
 
-def plan_stream(props, data, allow_nolz=False):
+def plan_stream(props, data, allow_nolz=False, allow_ap=False):
     """Analyzer pre-pass: produce the filtered LZ input + run table, or
-    None when the stream needs the golden path (multi-chunk, optimal
-    parser, BT finder).
+    None when the stream needs the golden path (multi-chunk, BT
+    finder, or — unless allow_ap — the optimal parser).
 
     Returns (lz_input: bytes, runs: [(type, filtered_len, declared_size,
     chunk_last, payload)]).  Mirrors CSCEncoder::Compress
@@ -265,7 +265,11 @@ def plan_stream(props, data, allow_nolz=False):
     # watchdog (see ARCHITECTURE.md roadmap); larger streams use golden
     if size > int(os.environ.get("CSC_TPU_MAX_ENCODE", 256 * 1024)):
         return None
-    if props.lz_mode not in (1, 2) or props.bt_size:
+    # lz_mode 3 (optimal/advanced parse, m3/m4) is device-plannable when
+    # the caller wires the AP parser (ops/parse_ap.py); the BT finder
+    # (m5, bt_size > 0) stays on the golden path
+    ok_modes = (1, 2, 3) if allow_ap else (1, 2)
+    if props.lz_mode not in ok_modes or props.bt_size:
         return None
     use_filters = (props.DLTFilter + props.EXEFilter + props.TXTFilter) > 0
 

@@ -185,16 +185,7 @@ def _tile_gather(tile_refs, sub, lane, use_first=None):
     B = sub.shape[0]
     lane_oh = (jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
                == lane[:, None])
-    if isinstance(tile_refs, tuple):
-        ra, rb = tile_refs
-    else:
-        ra, rb = tile_refs, None
-    rowsel = jnp.zeros((B, 128), jnp.int32)
-    for s in range(TS):
-        row = ra[:, s, :]
-        if rb is not None:
-            row = jnp.where(_col(use_first), row, rb[:, s, :])
-        rowsel = rowsel + jnp.where(sub[:, None] == s, row, 0)
+    rowsel = _tile_one(tile_refs, sub, use_first)
     return jnp.sum(jnp.where(lane_oh, rowsel, 0), axis=1)
 
 
@@ -207,28 +198,23 @@ def _row_onehot(sub, nrows):
     return io == sub[:, None]
 
 
-def _tile_one(tile_refs, sub, use_first=None, nrows=TS):
-    """[B,128] = row sub of a [B,nrows,128] tile (single-row window)."""
-    if isinstance(tile_refs, tuple):
-        ra, rb = tile_refs
-    else:
-        ra, rb = tile_refs, None
+def _tile_one(tile_ref, sub, use_first=None, nrows=TS):
+    """[B,128] = row sub of a [B,nrows,128] tile (single-row window).
+    Unrolled row selects: measured FASTER than a whole-tile masked
+    select + sublane reduction on Mosaic (34 vs 30 us/step, round 5)."""
+    del use_first
     B = sub.shape[0]
     oh = _row_onehot(sub, nrows)
-    ufcol = None if rb is None else _col(use_first)
-    lo = jnp.zeros((B, 128), ra.dtype)
+    lo = jnp.zeros((B, 128), tile_ref.dtype)
     for s in range(nrows):
-        row = ra[:, s, :]
-        if rb is not None:
-            row = jnp.where(ufcol, row, rb[:, s, :])
-        lo = lo + jnp.where(oh[:, s:s + 1], row, 0)
+        lo = lo + jnp.where(oh[:, s:s + 1], tile_ref[:, s, :], 0)
     return lo
 
 
 def _tile_pair_even(ref, half, nhalf=8):
     """[B,256] = rows (2h, 2h+1) of a [B,2*nhalf,128] tile, h per stream.
-    Half the row scan of _tile_pair for 2-aligned pairs (the literal-ctx
-    subtree pairs are always even-anchored: gsub = slot*8 + (ctx&3)*2)."""
+    Even-anchored pairs (the literal-ctx subtree pairs: gsub = slot*8 +
+    (ctx&3)*2): whole-tile masked select + sublane reduction."""
     B = half.shape[0]
     oh = _row_onehot(half, nhalf)
     lo = jnp.zeros((B, 128), ref.dtype)
@@ -240,21 +226,15 @@ def _tile_pair_even(ref, half, nhalf=8):
     return jnp.concatenate([lo, hi], axis=1)
 
 
-def _tile_pair(tile_refs, sub, use_first=None, nrows=TS):
+def _tile_pair(tile_ref, sub, use_first=None, nrows=TS):
     """[B,256] = rows sub and (sub+1)%nrows concatenated."""
+    del use_first
     B = sub.shape[0]
-    if isinstance(tile_refs, tuple):
-        ra, rb = tile_refs
-    else:
-        ra, rb = tile_refs, None
     oh = _row_onehot(sub, nrows)
-    ufcol = None if rb is None else _col(use_first)
     lo = jnp.zeros((B, 128), jnp.int32)
     hi = jnp.zeros((B, 128), jnp.int32)
     for s in range(nrows):
-        row = ra[:, s, :]
-        if rb is not None:
-            row = jnp.where(ufcol, row, rb[:, s, :])
+        row = tile_ref[:, s, :]
         lo = lo + jnp.where(oh[:, s:s + 1], row, 0)
         # row s is the HI row for streams whose sub == s-1 (mod nrows)
         hi = hi + jnp.where(oh[:, (s - 1) % nrows:(s - 1) % nrows + 1],
@@ -558,9 +538,11 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             # small-table window halves: one NP_ROWS pass stages both
             need_small = is_bit & ~uses_grp
 
-            def _stage_small():
-                ohlo = _row_onehot(lo_row, NP_ROWS)
-                ohhi = _row_onehot(hi_row, NP_ROWS)
+            def _stage_small(lo_r=None, hi_r=None):
+                lo_r = lo_row if lo_r is None else lo_r
+                hi_r = hi_row if hi_r is None else hi_r
+                ohlo = _row_onehot(lo_r, NP_ROWS)
+                ohhi = _row_onehot(hi_r, NP_ROWS)
                 lo = jnp.zeros((B, 128), jnp.float32)
                 hi = jnp.zeros((B, 128), jnp.float32)
                 for s in range(NP_ROWS):
@@ -582,6 +564,24 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                 jnp.any(is_bit),
                 lambda: _tile_pair(rc_t, jnp.clip(roff0 >> 7, 0, TS - 1)),
                 lambda: jnp.zeros((B, 256), jnp.int32))
+            if "stage" in _DUP:
+                lit2 = jax.lax.cond(
+                    jnp.any(use_gc_any),
+                    lambda: _tile_pair_even(grp, (gsub_lit + dz) >> 1),
+                    lambda: jnp.zeros((B, 256), jnp.float32))
+                small2 = jax.lax.cond(
+                    jnp.any(need_small),
+                    lambda: _stage_small(lo_row + dz, hi_row + dz),
+                    lambda: jnp.zeros((B, 256), jnp.float32))
+                rc2 = jax.lax.cond(
+                    jnp.any(is_bit),
+                    lambda: _tile_pair(rc_t,
+                                       jnp.clip((roff0 + dz) >> 7, 0,
+                                                TS - 1)),
+                    lambda: jnp.zeros((B, 256), jnp.int32))
+                comb = jnp.where(dcol, jnp.where(_col(use_gc), lit2,
+                                                 small2), comb)
+                rc_pair = jnp.where(dcol, rc2, rc_pair)
 
             # entry phase + tree params (idx = baser + node, node from 1)
             pdp = g("pdist_pos")
@@ -614,9 +614,12 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                 lim = jnp.where(cm, _l, lim)
             xwait = fsm == F_DISTSLOT
 
+            # NOTE: the gather index is always baser + node (T() and the
+            # in-tree update both preserve the invariant), so no
+            # separate idxr register is carried — one fewer [B] select
+            # per transition per bit.
             rngv, codev, rcp = g("rc_range"), g("rc_code"), rc_ptr
             node = jnp.full_like(fsm, 1)
-            idxr = baser + 1
             exitk = jnp.zeros_like(fsm)
             lit_b = jnp.zeros_like(fsm)
             nibv = jnp.zeros_like(fsm)
@@ -665,7 +668,6 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                     baser = jnp.where(swd, npdp, baser)
                     lim = jnp.where(swd, 1 << nsb, lim)
                     node = jnp.where(swd, 1, node)
-                    idxr = jnp.where(swd, npdp + 1, idxr)
                 if ibit == RESTAGE3_BIT:
                     # token-step extra row (slot tree done by bit 11)
                     sw3 = (ph == PH_DEXTRA) & m_dist2 & is_bit
@@ -701,7 +703,7 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                 rcp = jnp.where(need, rcp + 1, rcp)
 
                 # gather p; adaptation deferred into dacc
-                ohm = lane256 == jnp.where(act, idxr, -1)[:, None]
+                ohm = lane256 == jnp.where(act, baser + node, -1)[:, None]
                 p = _i32(jnp.sum(jnp.where(ohm, comb, 0), axis=1))
                 bound = _i32(_u32(jnp.where(act, rngv, 0)) >> 12) * p
                 b_ = _ult(codev, bound) & act
@@ -717,17 +719,15 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                 dn = act & (node2 >= lim)
                 # in-tree defaults
                 nph, nbase, nlim = ph, baser, lim
-                nidxr = idxr * 2 - baser + bi
                 nnode = node2
                 nla, nlp = la, lp
 
                 def T(m, p2, b2, l2):
                     # enter tree (base b2, lim l2) at node 1
-                    nonlocal nph, nbase, nlim, nidxr, nnode
+                    nonlocal nph, nbase, nlim, nnode
                     nph = jnp.where(m, p2, nph)
                     nbase = jnp.where(m, b2, nbase)
                     nlim = jnp.where(m, l2, nlim)
-                    nidxr = jnp.where(m, b2 + 1, nidxr)
                     nnode = jnp.where(m, 1, nnode)
 
                 def H(m, ex):
@@ -856,7 +856,6 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                 baser = jnp.where(act, nbase, baser)
                 lim = jnp.where(act, nlim, lim)
                 node = jnp.where(act, nnode, node)
-                idxr = jnp.where(act, nidxr, idxr)
                 la, lp = nla, nlp
 
                 if ibit == 0:
@@ -1229,28 +1228,158 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             upd("done", dlt_guard, 1)
 
             # ================== DIRECT transitions =======================
-            c = is_dir & (fsm == F_INTSLOT)
-            upd("int_slot", c, dval)
-            upd("fsm", c, F_INTNUM)
-            upd("direct_rem", c, jnp.maximum(dval, 1))
-            upd("direct_acc", c, 0)
+            # The whole DIRECT + PRIME dispatch (block headers, int
+            # sizes, chunk resets, BADBYTES, DISTDIRECT, coder priming)
+            # runs under ONE cond: these are rare steps on LZ content
+            # (~1-3%), and the region carries ~80 selects plus two
+            # [B,NB] framing-end reductions every step otherwise.
+            def _direct_prime_region(new_t):
+                new = list(new_t)
 
-            c = is_dir & (fsm == F_INTNUM)
-            ph1 = c & two_phase
-            upd("direct_acc", ph1, dval)
-            upd("direct_rem", ph1, 16)
-            cdone = c & ~two_phase
-            int_slot = g("int_slot")
-            num = ((g("direct_acc") << nbits) | dval) + jnp.where(
-                int_slot > 0, 1 << jnp.clip(int_slot, 0, 30), 0)
+                def upd(name, cond, val):
+                    i = _RI[name]
+                    new[i] = jnp.where(cond, val, new[i])
 
-            ip = g("int_purpose")
-            bt = cdone & (ip == IP_BLOCKTYPE)
-            # blk_log one-hot scatter: lanes 2*cnt, 2*cnt+1 (the one-hot
-            # compares are inside the cond: block headers are rare steps)
-            blk_cnt = g("blk_cnt")
+                c = is_dir & (fsm == F_INTSLOT)
+                upd("int_slot", c, dval)
+                upd("fsm", c, F_INTNUM)
+                upd("direct_rem", c, jnp.maximum(dval, 1))
+                upd("direct_acc", c, 0)
+
+                c = is_dir & (fsm == F_INTNUM)
+                ph1 = c & two_phase
+                upd("direct_acc", ph1, dval)
+                upd("direct_rem", ph1, 16)
+                cdone = c & ~two_phase
+                int_slot = g("int_slot")
+                num = ((g("direct_acc") << nbits) | dval) + jnp.where(
+                    int_slot > 0, 1 << jnp.clip(int_slot, 0, 30), 0)
+
+                ip = g("int_purpose")
+                bt = cdone & (ip == IP_BLOCKTYPE)
+                blk_cnt = g("blk_cnt")
+                upd("blk_cnt", bt, blk_cnt + 1)
+                upd("blk_start", bt, wnd_pos)
+                upd("fsm", bt & ((num == DT_NORMAL) | (num == DT_EXE)), F_FLAG1)
+
+                def to_int(cond, purpose):
+                    upd("fsm", cond, F_INTSLOT)
+                    upd("int_purpose", cond, purpose)
+                    upd("direct_rem", cond, 5)
+
+                to_int(bt & (num == DT_ENGTXT), IP_SIZE_TXT)
+                to_int(bt & (num == DT_BAD), IP_SIZE_BAD)
+                to_int(bt & (num == DT_ENTROPY), IP_SIZE_ENT)
+                t_eof = bt & (num == SIG_EOF)
+                upd("eof", t_eof, 1)
+                to_int(t_eof, IP_CONT)
+                t_dlt = bt & (num >= DT_DLT) & (num < DT_DLT + 5)
+                to_int(t_dlt, IP_SIZE_RLE)
+                bad_type = bt & (num != DT_NORMAL) & (num != DT_EXE) \
+                    & (num != DT_ENGTXT) & (num != DT_BAD) \
+                    & (num != DT_ENTROPY) & (num != SIG_EOF) & ~t_dlt
+                upd("err", bad_type & (g("err") == 0), ERR_CORRUPT)
+
+                sb = cdone & (ip == IP_SIZE_BAD)
+                upd("size_rem", sb, num)
+                upd("fsm", sb & (num > 0), F_BADBYTES)
+                to_int(sb & (num == 0), IP_CONT)
+
+                se = cdone & (ip == IP_SIZE_ENT)
+                upd("size_rem", se, num)
+                upd("node", se, 1)
+                upd("fsm", se & (num > 0), F_ENTTREE)
+                to_int(se & (num == 0), IP_CONT)
+
+                sr = cdone & (ip == IP_SIZE_RLE)
+                upd("size_rem", sr, num)
+                upd("blk_start", sr, wnd_pos)
+                upd("sctx", sr, 0)
+                upd("last_delta", sr, 0)
+                upd("dlt_hi", sr, wnd_pos + num)
+                upd("fsm", sr & (num > 0), F_RLEFLAG)
+                to_int(sr & (num == 0), IP_CONT)
+
+                upd("fsm", cdone & (ip == IP_SIZE_TXT), F_FLAG1)
+
+                # --- CONT (chunk reset, csc_dec.cpp:657-680).  The current
+                # framing-block id is derived LAZILY here — the refill paths
+                # no longer track it per byte: id = #{ends <= ptr}, identical
+                # to the old ptr>=end increment rule, consulted only here.
+                ct = cdone & (ip == IP_CONT)
+                reset = ct & (num == 1)
+                r_cnt = jnp.sum(_i32(rc_ends_ref[:] <= rc_ptr[:, None]),
+                                axis=1)
+                r_start = ends_gather(rc_ends_ref, jnp.clip(r_cnt, 0, NB - 1))
+                b_cnt = jnp.sum(_i32(bc_ends_ref[:] <= bc_ptr2[:, None]),
+                                axis=1)
+                b_start = ends_gather(bc_ends_ref, jnp.clip(b_cnt, 0, NB - 1))
+                fin = ct & (g("eof") == 1)
+                upd("done", fin, 1)
+                upd("fsm", fin, F_IDLE)
+                go_prime = reset & ~fin
+                upd("fsm", go_prime, F_PRIME)
+                to_int(ct & ~reset & ~fin, IP_BLOCKTYPE)
+
+                # --- DISTDIRECT
+                c = is_dir & (fsm == F_DISTDIRECT)
+                ph1 = c & two_phase
+                upd("direct_acc", ph1, dval)
+                upd("direct_rem", ph1, 16)
+                cd = c & ~two_phase
+                upd("elen", cd, (g("direct_acc") << nbits) | dval)
+                upd("fsm", cd, F_DISTEXTRA)
+                upd("node", cd, 1)
+
+                # --- BADBYTES
+                c = is_dir & (fsm == F_BADBYTES)
+                wrote2 = c & (nbits == 16)
+                bad_b0 = jnp.where(wrote2, dval >> 8, dval) & 0xFF
+                bad_b1 = dval & 0xFF
+                nwr = jnp.where(wrote2, 2, 1)
+                upd("wnd_pos", c, wnd_pos + nwr)
+                nszb = size_rem - nwr
+                upd("size_rem", c, nszb)
+                to_int(c & (nszb == 0), IP_CONT)
+                bad_write = c
+
+                # ================== PRIME transitions ========================
+                upd("rc_code", is_prm, prime_code)
+                upd("rc_range", is_prm, jnp.int32(-1))
+                upd("rc_ptr", is_prm, rc_ptr + 5)
+                upd("bc_val", is_prm, 0)
+                upd("bc_bits", is_prm, 0)
+                upd("fsm", is_prm, F_INTSLOT)
+                upd("int_purpose", is_prm, IP_BLOCKTYPE)
+                upd("direct_rem", is_prm, 5)
+
+                # (i1 vectors don't legalize as scf.if results: masks
+                # cross the cond boundary as i32)
+                return tuple(new) + (bad_b0, bad_b1, nwr, _i32(bad_write),
+                                     _i32(bt), num, _i32(go_prime),
+                                     r_start, b_start)
+
+            def _skip_region(new_t):
+                z = jnp.zeros_like(fsm)
+                return tuple(new_t) + (z, z, z, z, z, z, z, z, z)
+
+            _dp_out = jax.lax.cond(
+                jnp.any(is_dir | is_prm), _direct_prime_region,
+                _skip_region, tuple(new))
+            new = list(_dp_out[:NR])
+            (bad_b0, bad_b1, nwr, bad_write_i, bt_i, num, go_prime_i,
+             r_start, b_start) = _dp_out[NR:]
+            bad_write = bad_write_i != 0
+            bt = bt_i != 0
+            go_prime = go_prime_i != 0
+
+            # blk_log one-hot scatter: lanes 2*cnt, 2*cnt+1 (block
+            # headers are rare steps; the ref write lives OUTSIDE the
+            # region cond — Mosaic cannot legalize ref side effects
+            # inside a value-returning scf.if)
             def _log_block(_):
-                logpos = jnp.minimum(blk_cnt, max_blocks - 1) * 2
+                blk_cnt0 = g("blk_cnt")
+                logpos = jnp.minimum(blk_cnt0, max_blocks - 1) * 2
                 ohl = lane_log == logpos[:, None]
                 ohl2 = lane_log == (logpos + 1)[:, None]
                 blklog_ref[:] = jnp.where(
@@ -1262,100 +1391,7 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                               blklog_ref[:]))
                 return 0
             jax.lax.cond(jnp.any(bt), _log_block, lambda _: 0, 0)
-            upd("blk_cnt", bt, blk_cnt + 1)
-            upd("blk_start", bt, wnd_pos)
-            upd("fsm", bt & ((num == DT_NORMAL) | (num == DT_EXE)), F_FLAG1)
 
-            def to_int(cond, purpose):
-                upd("fsm", cond, F_INTSLOT)
-                upd("int_purpose", cond, purpose)
-                upd("direct_rem", cond, 5)
-
-            to_int(bt & (num == DT_ENGTXT), IP_SIZE_TXT)
-            to_int(bt & (num == DT_BAD), IP_SIZE_BAD)
-            to_int(bt & (num == DT_ENTROPY), IP_SIZE_ENT)
-            t_eof = bt & (num == SIG_EOF)
-            upd("eof", t_eof, 1)
-            to_int(t_eof, IP_CONT)
-            t_dlt = bt & (num >= DT_DLT) & (num < DT_DLT + 5)
-            to_int(t_dlt, IP_SIZE_RLE)
-            bad_type = bt & (num != DT_NORMAL) & (num != DT_EXE) \
-                & (num != DT_ENGTXT) & (num != DT_BAD) \
-                & (num != DT_ENTROPY) & (num != SIG_EOF) & ~t_dlt
-            upd("err", bad_type & (g("err") == 0), ERR_CORRUPT)
-
-            sb = cdone & (ip == IP_SIZE_BAD)
-            upd("size_rem", sb, num)
-            upd("fsm", sb & (num > 0), F_BADBYTES)
-            to_int(sb & (num == 0), IP_CONT)
-
-            se = cdone & (ip == IP_SIZE_ENT)
-            upd("size_rem", se, num)
-            upd("node", se, 1)
-            upd("fsm", se & (num > 0), F_ENTTREE)
-            to_int(se & (num == 0), IP_CONT)
-
-            sr = cdone & (ip == IP_SIZE_RLE)
-            upd("size_rem", sr, num)
-            upd("blk_start", sr, wnd_pos)
-            upd("sctx", sr, 0)
-            upd("last_delta", sr, 0)
-            upd("dlt_hi", sr, wnd_pos + num)
-            upd("fsm", sr & (num > 0), F_RLEFLAG)
-            to_int(sr & (num == 0), IP_CONT)
-
-            upd("fsm", cdone & (ip == IP_SIZE_TXT), F_FLAG1)
-
-            # --- CONT (chunk reset, csc_dec.cpp:657-680).  The current
-            # framing-block id is derived LAZILY here — the refill paths
-            # no longer track it per byte: id = #{ends <= ptr}, identical
-            # to the old ptr>=end increment rule, consulted only here.
-            ct = cdone & (ip == IP_CONT)
-            reset = ct & (num == 1)
-            r_cnt = jnp.sum(_i32(rc_ends_ref[:] <= rc_ptr[:, None]),
-                            axis=1)
-            r_start = ends_gather(rc_ends_ref, jnp.clip(r_cnt, 0, NB - 1))
-            b_cnt = jnp.sum(_i32(bc_ends_ref[:] <= bc_ptr2[:, None]),
-                            axis=1)
-            b_start = ends_gather(bc_ends_ref, jnp.clip(b_cnt, 0, NB - 1))
-            fin = ct & (g("eof") == 1)
-            upd("done", fin, 1)
-            upd("fsm", fin, F_IDLE)
-            go_prime = reset & ~fin
-            upd("fsm", go_prime, F_PRIME)
-            to_int(ct & ~reset & ~fin, IP_BLOCKTYPE)
-
-            # --- DISTDIRECT
-            c = is_dir & (fsm == F_DISTDIRECT)
-            ph1 = c & two_phase
-            upd("direct_acc", ph1, dval)
-            upd("direct_rem", ph1, 16)
-            cd = c & ~two_phase
-            upd("elen", cd, (g("direct_acc") << nbits) | dval)
-            upd("fsm", cd, F_DISTEXTRA)
-            upd("node", cd, 1)
-
-            # --- BADBYTES
-            c = is_dir & (fsm == F_BADBYTES)
-            wrote2 = c & (nbits == 16)
-            bad_b0 = jnp.where(wrote2, dval >> 8, dval) & 0xFF
-            bad_b1 = dval & 0xFF
-            nwr = jnp.where(wrote2, 2, 1)
-            upd("wnd_pos", c, wnd_pos + nwr)
-            nszb = size_rem - nwr
-            upd("size_rem", c, nszb)
-            to_int(c & (nszb == 0), IP_CONT)
-            bad_write = c
-
-            # ================== PRIME transitions ========================
-            upd("rc_code", is_prm, prime_code)
-            upd("rc_range", is_prm, jnp.int32(-1))
-            upd("rc_ptr", is_prm, rc_ptr + 5)
-            upd("bc_val", is_prm, 0)
-            upd("bc_bits", is_prm, 0)
-            upd("fsm", is_prm, F_INTSLOT)
-            upd("int_purpose", is_prm, IP_BLOCKTYPE)
-            upd("direct_rem", is_prm, 5)
 
             # ================== unified window write =====================
             # byte-writers: literal / entropy byte / BAD raw bytes
@@ -1379,16 +1415,28 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                                                       bad_b1[:, None], 0)))
             wany = (wlen > 0)
 
+            _WROWS = _os.environ.get("PDK_WRITE", "tile") == "rows"
+
             def _wnd_write(off):
                 # all writers are row-capped (copy cl, BADBYTES nwr at
-                # lane 127, 1-byte literals) -> single-row write
+                # lane 127, 1-byte literals) -> single-row write.  One
+                # whole-tile masked select (the [B,TS,128] broadcast is
+                # a single VPU pass) instead of TS row-sliced writes.
                 pos128 = _rot_right(bytes_pre, (shift + off) & 127, 128)
                 v = (lane128 >= (dlane + off)[:, None]) \
                     & (lane128 < (dlane + off + wlen)[:, None])
                 ohd = _row_onehot(dsub, TS) & _col(wany)
-                for s in range(TS):
-                    m = v & ohd[:, s:s + 1]
-                    out_t[:, s, :] = jnp.where(m, pos128, out_t[:, s, :])
+                if _WROWS:
+                    for s in range(TS):
+                        m = v & ohd[:, s:s + 1]
+                        out_t[:, s, :] = jnp.where(m, pos128,
+                                                   out_t[:, s, :])
+                    return 0
+                m3 = (_i32(ohd)[:, :, None] != 0) & (_i32(v)[:, None, :]
+                                                     != 0)
+                out_t[:, :, :] = jnp.where(
+                    m3, jnp.broadcast_to(pos128[:, None, :],
+                                         (B, TS, 128)), out_t[:, :, :])
                 return 0
             jax.lax.cond(jnp.any(wany), lambda: _wnd_write(0),
                          lambda: 0)
@@ -1429,6 +1477,11 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             emit(RQ_SWAP_IDS, swap_any)
             emit(RQ_RC_IDS, rc_fetch)
             emit(RQ_BC_IDS, bc_miss)
+            # scalar flag for the step loop: ANY request at all this
+            # step?  Request-free steps (~half of text decode) skip the
+            # whole scalar service sweep (req DMA + 5 serve loops).
+            any_req = jnp.any(flush_mask | rd_miss | swap_any
+                              | rc_fetch | bc_miss)
             if "emit" in _DUP:   # spare rows 13-15; service never reads them
                 emit(13, flush_mask ^ (dz != 0))
                 emit(14, rd_miss ^ (dz != 0))
@@ -1472,7 +1525,7 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                                            new[_RI["rc_ptr"]])
             new[_RI["bc_ptr"]] = jnp.where(go_prime, b_start,
                                            new[_RI["bc_ptr"]])
-            return new
+            return new, any_req
 
         # ---------------- scalar service phase ---------------------------
         def service():
@@ -1610,8 +1663,9 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             if _prof == "novec":
                 new = list(rg)
                 req[:] = jnp.full((NRQ, B), -1, jnp.int32)
+                any_req = jnp.bool_(True)
             else:
-                new = vstep(rg)
+                new, any_req = vstep(rg)
                 if "vec" in _DUP:
                     # run the whole vector phase twice with a runtime-0
                     # input perturbation; all side effects (req rows,
@@ -1619,13 +1673,16 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                     # runtime-false select -> semantics unchanged, work
                     # doubled.  Calibrates the section DUP estimates.
                     dz0 = max_steps_ref[0, 0] >> 30
-                    new2 = vstep(tuple(r + dz0 for r in rg))
+                    new2, _ = vstep(tuple(r + dz0 for r in rg))
                     new = [jnp.where(dz0 != 0, b2, a)
                            for a, b2 in zip(new, new2)]
             if _prof != "noserv":
-                service()
-                if "serv" in _DUP:
+                def _serve(_):
                     service()
+                    if "serv" in _DUP:
+                        service()
+                    return 0
+                jax.lax.cond(any_req, _serve, lambda _: 0, 0)
             return step + 1, tuple(new)
 
         rg0 = tuple(regs_ref[i, :] for i in range(NR))

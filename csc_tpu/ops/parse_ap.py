@@ -178,6 +178,8 @@ def make_ap_state(batch, data, sizes, dict_sizes, cand, run_ends,
 
 
 def _gather(tbl, idx):
+    if tbl.ndim == 1:                  # shared price tables [K]
+        return tbl[idx]
     return jnp.take_along_axis(tbl, idx[:, None], axis=1)[:, 0]
 
 

@@ -228,7 +228,9 @@ def encode_batch(props_list, datas):
     plans = []
     for props, data in zip(props_list, datas):
         plans.append(encode_host.plan_stream(
-            props, data, allow_nolz=_fast and props.lz_mode == 2))
+            props, data,
+            allow_nolz=_fast and props.lz_mode in (2, 3),
+            allow_ap=_fast))
     idxs = [i for i, pl in enumerate(plans) if pl is not None]
     outs = [None] * b
 
@@ -385,7 +387,26 @@ def _encode_group(idxs, plans, props_list, datas, outs, _dbg, _t0, _fast):
             print(f"[enc] remux done {_time.time() - _t0:.2f}s")
         return outs
 
-    if _fast and p0.lz_mode == 2:
+    if _fast and p0.lz_mode == 3:
+        # TPU-native OPTIMAL parse (m3/m4): precomputed candidate
+        # chains + price-directed DP (compress_advanced,
+        # csc_lz.cpp:207-333) with snapshot pricing — see parse_ap.py
+        from .parse_pre import precompute_candidates
+        from .parse_ap import make_ap_state, ap_parse_fn
+        cand, data_dev = precompute_candidates(data_arr, sizes, run_ends,
+                                               p0.hash_bits, p0.hash_width)
+        if _dbg:
+            cand.block_until_ready()
+            print(f"[enc] ap precompute done {_time.time() - _t0:.2f}s")
+        st, cfg = make_ap_state(bb, data_arr, sizes, dict_sizes, cand,
+                                run_ends, max_tokens, p0.hash_width,
+                                p0.good_len, run_types=run_types)
+        fparse_jit = ap_parse_fn(p0.hash_width, p0.good_len)
+        # AP steps per position: FIND (>=1) + MARK + WALK sweeps; the
+        # DP revisits each position at most a small constant number of
+        # times (stretches never overlap)
+        remaining = 16 * n + 4096
+    elif _fast and p0.lz_mode == 2:
         # TPU-native parse: precomputed hash-chain candidates + fold
         # parser (ratio-equivalent, not bit-identical; see parse_pre.py)
         from .parse_pre import precompute_candidates
@@ -428,7 +449,7 @@ def _encode_group(idxs, plans, props_list, datas, outs, _dbg, _t0, _fast):
     _impl = _os.environ.get("CSC_ENCODE_BITS", "auto")
     _pb = _impl == "pallas" or (_impl == "auto"
                                 and jax.default_backend() != "cpu")
-    if _fast and p0.lz_mode == 2 and _pb:
+    if _fast and p0.lz_mode in (2, 3) and _pb:
         # device-side stitch: the parse tape never crosses the tunnel
         from .stitch_dev import stitch_device
         if not np.asarray(final["done"]).all():
