@@ -238,10 +238,53 @@ def main():
         if dec_fb or (enc_fb and cname == "text"):
             bad.append(f"{mname}_{cname}_fallbacks")
 
-    # ---- m5 golden-path ratio row (BT finder + optimal parser run on
-    # the golden path; ratio-only, small slice)
+    # ---- m3 row: device optimal parser (ops/parse_ap.py) — encode on
+    # the AP path, decode our own outputs (golden m3 blobs would take
+    # hours at Python speed; the decode kernel is level-agnostic)
     if full:
-        s5 = corpora["text"][:256 * 1024]
+        E3 = min(EB, 32)
+        chunks3 = [corpora["text"][i * CH:(i + 1) * CH] for i in range(E3)]
+        p3 = [props_init(CH, 3) for _ in range(E3)]
+        e3 = encode_batch(p3, chunks3)          # warm/compile
+        t4 = time.time()
+        e3 = encode_batch(p3, chunks3)
+        t5 = time.time()
+        enc3_fb = pipeline.LAST_ENCODE_FALLBACKS
+        d3 = decode_batch(p3, e3, [0] * E3, out_sizes=[CH] * E3)
+        t6 = time.time()
+        ok3 = d3 == chunks3
+        row3 = {
+            "enc_mbps": round(E3 * CH / (t5 - t4) / 1e6, 3),
+            "dec_mbps": round(E3 * CH / (t6 - t5) / 1e6, 3),
+            "ratio": round(sum(len(o) + 10 for o in e3) / (E3 * CH), 4),
+            "enc_fallbacks": enc3_fb,
+            "dec_fallbacks": pipeline.LAST_DECODE_FALLBACKS,
+        }
+        matrix["m3_text"] = row3
+        if not ok3 or enc3_fb:
+            bad.append("m3_text")
+
+    # ---- m5 rows: device path (AP parser + width-8 chain stand-in for
+    # the BT finder — documented approximation, tests/test_parse_ap.py)
+    # and the golden BT reference ratio on a small slice
+    if full:
+        E5 = min(EB, 32)
+        chunks5 = [corpora["text"][i * CH:(i + 1) * CH] for i in range(E5)]
+        p5 = [props_init(CH, 5) for _ in range(E5)]
+        e5 = encode_batch(p5, chunks5)          # warm
+        t4 = time.time()
+        e5 = encode_batch(p5, chunks5)
+        t5 = time.time()
+        ok5 = decode_batch(p5[:2], e5[:2], [0, 0],
+                           out_sizes=[CH, CH]) == chunks5[:2]
+        matrix["m5_text"] = {
+            "enc_mbps": round(E5 * CH / (t5 - t4) / 1e6, 3),
+            "ratio": round(sum(len(o) + 10 for o in e5) / (E5 * CH), 4),
+            "enc_fallbacks": pipeline.LAST_ENCODE_FALLBACKS,
+        }
+        if not ok5:
+            bad.append("m5_text")
+        s5 = corpora["text"][:64 * 1024]
         t4 = time.time()
         b5 = compress(s5, level=5, dict_size=len(s5))
         t5 = time.time()
@@ -262,6 +305,18 @@ def main():
                 row["ref_ratio"] = round(rs / len(seg), 4)
                 row["size_vs_ref"] = round(
                     row["ratio"] / (rs / len(seg)), 4)
+        for key, level, cnt in (("m3_text", 3, min(EB, 32)),
+                                ("m5_text", 5, min(EB, 32))):
+            if key not in matrix:
+                continue
+            chs = [corpora["text"][i * CH:(i + 1) * CH]
+                   for i in range(cnt)]
+            rs = _ref_size_chunked(ref, chs, level, "text")
+            if rs:
+                row = matrix[key]
+                row["ref_ratio"] = round(rs / (cnt * CH), 4)
+                row["size_vs_ref"] = round(
+                    row["ratio"] / (rs / (cnt * CH)), 4)
 
     dmbps, wall, kmbps, embps = primary
     print(json.dumps({

@@ -265,11 +265,14 @@ def plan_stream(props, data, allow_nolz=False, allow_ap=False):
     # watchdog (see ARCHITECTURE.md roadmap); larger streams use golden
     if size > int(os.environ.get("CSC_TPU_MAX_ENCODE", 256 * 1024)):
         return None
-    # lz_mode 3 (optimal/advanced parse, m3/m4) is device-plannable when
-    # the caller wires the AP parser (ops/parse_ap.py); the BT finder
-    # (m5, bt_size > 0) stays on the golden path
+    # lz_mode 3 (optimal/advanced parse, m3/m4/m5) is device-plannable
+    # when the caller wires the AP parser (ops/parse_ap.py).  For m5
+    # (bt_size > 0) the device path substitutes width-8 hash-chain
+    # candidates for the binary-tree finder (csc_mf.cpp:369-451) — a
+    # documented ratio approximation in the fast-parse family;
+    # CSC_ENCODE_PARSE=exact keeps the bit-exact golden BT path.
     ok_modes = (1, 2, 3) if allow_ap else (1, 2)
-    if props.lz_mode not in ok_modes or props.bt_size:
+    if props.lz_mode not in ok_modes or (props.bt_size and not allow_ap):
         return None
     use_filters = (props.DLTFilter + props.EXEFilter + props.TXTFilter) > 0
 

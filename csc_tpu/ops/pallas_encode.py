@@ -1263,7 +1263,7 @@ def _pack_outputs(rc_o, bc_o, rcmap, bcmap, clog, lr, lb):
 
 def encode_bits_pallas(tok_kind, tok_a, tok_b, tok_c, max_rc, max_bc,
                        bsize=65536, kbits=None, interpret=False,
-                       max_steps=None):
+                       max_steps=None, mesh=None):
     """Run phase B for B streams.  tok_*: [B, T] i32 (K_END terminated).
 
     Returns (rc_bytes, bc_bytes, rc_blkmap, bc_blkmap, chunk_ends, errs):
@@ -1309,15 +1309,47 @@ def encode_bits_pallas(tok_kind, tok_a, tok_b, tok_c, max_rc, max_bc,
     import time as _time
     _dbg = bool(os.environ.get("CSC_ENC_DEBUG"))
     _t0 = _time.time()
-    outs = _run(B, nts // 128, nrs // 128, nbs // 128, int(kbits),
-                bool(interpret),
-                jnp.asarray(np.array([[max_steps]], np.int32)),
-                jnp.asarray(np.array([[bsize]], np.int32)),
-                jnp.asarray(regs),
-                jnp.asarray(tok.reshape(B, nts // 128, 128)),
-                plit, rc0, bc0)
-    _, rc_o, bc_o, regs_o, rcmap, bcmap, clog, steps = outs
-    regs_np = np.asarray(regs_o)
+    args = (jnp.asarray(np.array([[max_steps]], np.int32)),
+            jnp.asarray(np.array([[bsize]], np.int32)),
+            jnp.asarray(regs),
+            jnp.asarray(tok.reshape(B, nts // 128, 128)),
+            plit, rc0, bc0)
+    if mesh is not None:
+        # multi-chip: shard the stream batch over the dp x sp mesh via
+        # shard_map (independent streams, no hot-path collectives)
+        from jax.sharding import PartitionSpec as P
+        try:
+            from jax.experimental.shard_map import shard_map
+        except ImportError:                     # newer jax
+            from jax.sharding import shard_map
+        ndev = mesh.size
+        assert B % ndev == 0, (B, ndev)
+        axes = tuple(mesh.axis_names)
+        ax3 = P(axes, None, None)
+
+        def f(ms_, bs_, regs_, tok_, plit_, rc0_, bc0_):
+            o = _run(B // ndev, nts // 128, nrs // 128, nbs // 128,
+                     int(kbits), bool(interpret), ms_, bs_, regs_, tok_,
+                     plit_, rc0_, bc0_)
+            _, rc_s, bc_s, regs_s, rcm_s, bcm_s, clog_s, steps_s = o
+            return (rc_s, bc_s, regs_s.T, rcm_s, bcm_s, clog_s,
+                    jnp.broadcast_to(steps_s.reshape(1, 1),
+                                     (B // ndev, 1)))
+
+        fn = shard_map(
+            f, mesh=mesh,
+            in_specs=(P(None, None), P(None, None), P(None, axes),
+                      ax3, ax3, ax3, ax3),
+            out_specs=(ax3, ax3, P(axes, None), P(axes, None),
+                       P(axes, None), P(axes, None), P(axes, None)),
+            check_rep=False)
+        rc_o, bc_o, regs_t, rcmap, bcmap, clog, steps = jax.jit(fn)(*args)
+        regs_np = np.asarray(regs_t).T
+    else:
+        outs = _run(B, nts // 128, nrs // 128, nbs // 128, int(kbits),
+                    bool(interpret), *args)
+        _, rc_o, bc_o, regs_o, rcmap, bcmap, clog, steps = outs
+        regs_np = np.asarray(regs_o)
     if _dbg:
         print(f"[bits] kernel+regs {_time.time() - _t0:.2f}s "
               f"({int(np.asarray(steps)[0, 0])} steps)")

@@ -952,7 +952,7 @@ def _run(B, C, NS, NTS, RMAX, good_len, interpret,
 
 def parse_batch_pallas(data_dev, cand_packed, sizes, dict_sizes,
                        run_ends_np, run_types_np, good_len, hash_width,
-                       interpret=False, max_steps=None):
+                       interpret=False, max_steps=None, mesh=None):
     """Run the parse kernel for B streams.
 
     data_dev: [B, N] u8 device array (the LZ input).  cand_packed:
@@ -999,14 +999,53 @@ def parse_batch_pallas(data_dev, cand_packed, sizes, dict_sizes,
     if max_steps is None:
         max_steps = int(6 * N + 4096)
     ms = jnp.asarray(np.array([[max_steps]], np.int32))
-    tok_o, regs_o, steps = _run(B, C, NS, NTS, RMAX, int(good_len),
-                                bool(interpret), ms, jnp.asarray(regs),
-                                jnp.asarray(re), jnp.asarray(rs),
-                                in4, candp, tok0)
-    regs_np = np.asarray(regs_o)
+    if mesh is not None:
+        # multi-chip: shard the stream batch over every mesh axis
+        # (dp x sp) and run the SAME kernel per shard via shard_map —
+        # streams are independent, no collectives on the hot path
+        from jax.sharding import PartitionSpec as P
+        try:
+            from jax.experimental.shard_map import shard_map
+        except ImportError:                     # newer jax
+            from jax.sharding import shard_map
+        ndev = mesh.size
+        assert B % ndev == 0, (B, ndev)
+        axes = tuple(mesh.axis_names)
+        ax = P(axes)
+
+        def f(ms_, regs_, re_, rs_, in4_, candp_, tok0_):
+            tok_s, regs_s, steps_s = _run(
+                B // ndev, C, NS, NTS, RMAX, int(good_len),
+                bool(interpret), ms_, regs_, re_, rs_, in4_, candp_,
+                tok0_)
+            return (tok_s, regs_s.T,
+                    jnp.broadcast_to(steps_s.reshape(1, 1),
+                                     (B // ndev, 1)))
+
+        fn = shard_map(
+            f, mesh=mesh,
+            in_specs=(P(None, None), P(None, axes), ax, ax,
+                      P(axes, None, None), P(axes, None, None, None),
+                      P(axes, None, None)),
+            out_specs=(P(axes, None, None), P(axes, None),
+                       P(axes, None)),
+            check_rep=False)
+        tok_o, regs_t, steps_b = jax.jit(fn)(
+            ms, jnp.asarray(regs), jnp.asarray(re), jnp.asarray(rs),
+            in4, candp, tok0)
+        regs_np = np.asarray(regs_t).T
+        steps_v = int(np.asarray(steps_b).max())
+    else:
+        tok_o, regs_o, steps = _run(B, C, NS, NTS, RMAX, int(good_len),
+                                    bool(interpret), ms,
+                                    jnp.asarray(regs),
+                                    jnp.asarray(re), jnp.asarray(rs),
+                                    in4, candp, tok0)
+        regs_np = np.asarray(regs_o)
+        steps_v = int(np.asarray(steps)[0, 0])
     if not regs_np[_RI["done"]].all():
         raise RuntimeError("pallas parse hit the step cap")
     T = NTS * 128 // 2
     tokf = tok_o.reshape(B, T, 2)
     return tokf[:, :, 0], tokf[:, :, 1], regs_np[_RI["tok_cnt"]], \
-        int(np.asarray(steps)[0, 0])
+        steps_v

@@ -197,7 +197,7 @@ def decode_stream_tpu(props, blob, pos=0):
     return decode_batch([props], [blob], [pos])[0]
 
 
-def encode_batch(props_list, datas):
+def encode_batch(props_list, datas, _mesh=None):
     """Encode B independent streams on the device (m1/m2 path).
 
     Per-stream fallback to golden when the planner rejects a stream
@@ -277,11 +277,12 @@ def encode_batch(props_list, datas):
             groups = [pidxs]
         for gidxs in groups:
             _encode_group(gidxs, plans, props_list, datas, outs, _dbg, _t0,
-                          _fast)
+                          _fast, _mesh)
     return outs
 
 
-def _encode_group(idxs, plans, props_list, datas, outs, _dbg, _t0, _fast):
+def _encode_group(idxs, plans, props_list, datas, outs, _dbg, _t0, _fast,
+                  _mesh=None):
     global LAST_ENCODE_FALLBACKS
     import jax
     import time as _time
@@ -347,7 +348,7 @@ def _encode_group(idxs, plans, props_list, datas, outs, _dbg, _t0, _fast):
         w0, w1, _tc, _steps = parse_batch_pallas(
             data_dev, candp, sizes, dict_sizes, run_ends, run_types,
             p0.good_len, p0.hash_width,
-            interpret=(jax.default_backend() == "cpu"))
+            interpret=(jax.default_backend() == "cpu"), mesh=_mesh)
         # slice the tape to the used prefix: every stitch gather pays
         # per padded element (~90 ms per [96,64K] take_along_axis)
         _used = _bucket(int(_tc.max()) + 2, 256)
@@ -371,7 +372,7 @@ def _encode_group(idxs, plans, props_list, datas, outs, _dbg, _t0, _fast):
         rcs, bcs, rcmap, bcmap, chunk_ends, errs = encode_bits_pallas(
             tkk, taa, tbb, tcc, max_rc, max_bc,
             bsize=p0.csc_blocksize,
-            interpret=(jax.default_backend() == "cpu"))
+            interpret=(jax.default_backend() == "cpu"), mesh=_mesh)
         if _dbg:
             print(f"[enc] bits done {_time.time() - _t0:.2f}s")
         for j, i in enumerate(idxs):
@@ -388,20 +389,23 @@ def _encode_group(idxs, plans, props_list, datas, outs, _dbg, _t0, _fast):
         return outs
 
     if _fast and p0.lz_mode == 3:
-        # TPU-native OPTIMAL parse (m3/m4): precomputed candidate
+        # TPU-native OPTIMAL parse (m3/m4/m5): precomputed candidate
         # chains + price-directed DP (compress_advanced,
-        # csc_lz.cpp:207-333) with snapshot pricing — see parse_ap.py
+        # csc_lz.cpp:207-333) with snapshot pricing — see parse_ap.py.
+        # m5 (hash_width 0 = BT finder) rides the same path with
+        # width-8 chains as the documented BT approximation.
         from .parse_pre import precompute_candidates
         from .parse_ap import make_ap_state, ap_parse_fn
+        w_eff = p0.hash_width or 8
         cand, data_dev = precompute_candidates(data_arr, sizes, run_ends,
-                                               p0.hash_bits, p0.hash_width)
+                                               p0.hash_bits, w_eff)
         if _dbg:
             cand.block_until_ready()
             print(f"[enc] ap precompute done {_time.time() - _t0:.2f}s")
         st, cfg = make_ap_state(bb, data_arr, sizes, dict_sizes, cand,
-                                run_ends, max_tokens, p0.hash_width,
+                                run_ends, max_tokens, w_eff,
                                 p0.good_len, run_types=run_types)
-        fparse_jit = ap_parse_fn(p0.hash_width, p0.good_len)
+        fparse_jit = ap_parse_fn(w_eff, p0.good_len)
         # AP steps per position: FIND (>=1) + MARK + WALK sweeps; the
         # DP revisits each position at most a small constant number of
         # times (stretches never overlap)

@@ -9,6 +9,8 @@ EXE-filtered streams, mixed batches, and corrupt-stream rejection
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from csc_tpu.props import props_init
 import numpy as np  # noqa: F811
 from csc_tpu.golden.encoder import encode_stream

@@ -11,6 +11,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from csc_tpu.props import props_init
 from csc_tpu.golden.encoder import encode_stream
 from csc_tpu.ops.pipeline import encode_batch

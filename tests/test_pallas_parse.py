@@ -10,6 +10,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from csc_tpu.props import props_init
 from csc_tpu.golden.api import decompress_stream
 

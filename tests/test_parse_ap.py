@@ -95,6 +95,20 @@ def test_ap_m3_mixed_runs(corpus_dir):
     assert decompress_stream(p, o, 0) == d
 
 
+def test_ap_m5_bt_approximation(corpus_dir):
+    """m5 rides the AP path with width-8 hash chains standing in for
+    the binary-tree finder (csc_mf.cpp:369-451) — documented
+    approximation; bar = round-trip + ratio envelope vs golden BT."""
+    from csc_tpu.ops import pipeline
+    d = _text(corpus_dir, 8192)
+    p = _props(5, ds=8192)
+    o = pipeline.encode_batch([p], [d])[0]
+    assert pipeline.LAST_ENCODE_FALLBACKS == 0
+    assert decompress_stream(p, o, 0) == d
+    g = encode_stream(p, d)
+    assert len(o) <= len(g) * 1.03, (len(o), len(g))
+
+
 def test_ap_m3_pathological_inputs():
     from csc_tpu.ops import pipeline
     datas = [b"\x00" * 9000,                      # constant
