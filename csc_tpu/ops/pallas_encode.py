@@ -697,10 +697,15 @@ def _make_kernel(B, NTS, NRS, NBS, KBITS):
             # EX_DLIT: delta literal (no model state, csc_model.cpp:493)
             c = exitk == EX_DLIT
             upd("fsm", c, F_NEXT)
-            # EX_LITP / EX_DLITP: group not resident -> park + swap
+            # EX_LITP / EX_DLITP: group not resident -> park + swap.
+            # NO mstate update here: the completion step (EX_LIT next
+            # step, after the group swap) performs the single canonical
+            # (s*4) transition — a park-time update double-applied it,
+            # corrupting every parked literal's model state (round-5
+            # bug: reachable only when the ctx prefetch could not run,
+            # i.e. the first literal after a DT_DLT run / K_INT block).
             c = exitk == EX_LITP
             upd("fsm", c, F_LITTREE)
-            upd("mstate", c & k_lit, (mst * 4) & 0x3F)
             c = exitk == EX_DLITP
             upd("fsm", c, F_DLITTREE)
             # EX_R01

@@ -74,3 +74,27 @@ def test_pallas_parse_bad_entropy(monkeypatch):
     ref, ker = _encode_both(ps, [mixed], monkeypatch)
     assert ref[0] == ker[0]
     assert decompress_stream(ps[0], ker[0], 0) == mixed
+
+
+def _mk_delta(n, chn=4):
+    t = np.arange(n // chn)
+    cols = [(t // (3 + 2 * i) + 7 * i) % 256 for i in range(chn)]
+    return np.stack(cols, 1).astype(np.uint8).reshape(-1).tobytes()[:n]
+
+
+def test_pallas_parse_dlt_aux_tape(monkeypatch):
+    """DT_DLT runs ride the aux tape on the KERNEL-parse device-stitch
+    path too (ADVICE r4: the fast-parse path had coverage, this one
+    did not): byte-identical to the XLA fast-parse pipeline and
+    round-trips."""
+    d = _mk_delta(24 * 1024)
+    mix = _mk_text(8192, 5) + _mk_delta(16 * 1024) + _mk_text(4096, 6)
+    datas = [d, mix]
+    ps = [props_init(len(x), 2) for x in datas]   # filters ON: DLT typing
+    from csc_tpu.ops import encode_host
+    plan = encode_host.plan_stream(ps[0], d, allow_nolz=True)
+    assert plan is not None and plan[1][0][0] >= 0x10  # DT_DLT+idx run
+    ref, ker = _encode_both(ps, datas, monkeypatch)
+    assert ker == ref
+    for p, o, x in zip(ps, ker, datas):
+        assert decompress_stream(p, o, 0) == x
