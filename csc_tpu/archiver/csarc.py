@@ -551,7 +551,7 @@ class CSArc:
 
         if self.backend == "tpu":
             import os as _os
-            cap = int(_os.environ.get("CSC_TPU_MAX_ENCODE", 256 * KB))
+            cap = int(_os.environ.get("CSC_TPU_MAX_ENCODE", 1024 * KB))
             tasks = _autosplit_tasks(tasks, cap)
 
         from ..parallel import dist

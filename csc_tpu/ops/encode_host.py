@@ -261,9 +261,13 @@ def plan_stream(props, data, allow_nolz=False, allow_ap=False):
     size = len(data)
     if size == 0:
         return None
-    # round-1 guard: very large per-stream scans can trip the TPU worker
-    # watchdog (see ARCHITECTURE.md roadmap); larger streams use golden
-    if size > int(os.environ.get("CSC_TPU_MAX_ENCODE", 256 * 1024)):
+    # per-stream device cap (CSC_TPU_MAX_ENCODE): streams above it take
+    # the golden path and the archiver auto-splits tasks to fit.  Round
+    # 5 validated 512 KB and 1 MB streams on-chip (roundtrip, zero
+    # fallbacks, ratio 0.2167 at 1 MB text vs 0.2963 at 16 KB chunks —
+    # BASELINE.md); 1 MB is the default.  The unbounded design
+    # (segment-batched parse + native phase B) is PLAN_ROUND6.md #1.
+    if size > int(os.environ.get("CSC_TPU_MAX_ENCODE", 1024 * 1024)):
         return None
     # lz_mode 3 (optimal/advanced parse, m3/m4/m5) is device-plannable
     # when the caller wires the AP parser (ops/parse_ap.py).  For m5
