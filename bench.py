@@ -246,6 +246,8 @@ def main():
         chunks3 = [corpora["text"][i * CH:(i + 1) * CH] for i in range(E3)]
         p3 = [props_init(CH, 3) for _ in range(E3)]
         e3 = encode_batch(p3, chunks3)          # warm/compile
+        d3 = decode_batch(p3, e3, [0] * E3,
+                          out_sizes=[CH] * E3)  # warm decode B=E3 shape
         t4 = time.time()
         e3 = encode_batch(p3, chunks3)
         t5 = time.time()

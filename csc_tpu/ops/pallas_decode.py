@@ -283,6 +283,19 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
     # runtime-false select, so semantics are unchanged but the section's
     # work doubles.  marginal(dup) - marginal(base) = section cost.
     _DUP = set(filter(None, _os.environ.get("PDK_DUP", "").split(",")))
+    # PDK_ABL=nocond: PROFILING ablation — run every gated section
+    # unconditionally.  Measured round 5: 32.0 vs 30.0 us/step, i.e.
+    # the scf.if overhead is SMALLER than the guarded work, so the
+    # conds stay.  Outputs remain correct (guarded writes select on
+    # per-lane masks) but one quickcheck stream spuriously flagged
+    # UNSUPPORTED under the ablation — not for production use.
+    if "nocond" in _ABL:
+        def _cnd(pred, tfn, ffn, *ops):
+            del pred, ffn
+            return tfn(*ops)
+    else:
+        def _cnd(pred, tfn, ffn, *ops):
+            return jax.lax.cond(pred, tfn, ffn, *ops)
 
 
     def kernel(max_steps_ref,            # SMEM (1,1)
@@ -344,7 +357,7 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             def els(_):
                 req[row, :] = jnp.full((B,), -1, jnp.int32)
                 return 0
-            jax.lax.cond(jnp.any(mask), then, els, 0)
+            _cnd(jnp.any(mask), then, els, 0)
 
         # ---------------- vector phase: one lockstep micro-op ------------
         def vstep(rg):
@@ -448,12 +461,12 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                     rsub = jnp.clip((src_eff - rd_base) >> 7, 0, TS - 1)
                     return jnp.where(_col(use_out), row,
                                      _tile_one(rd_t, rsub))
-                return jax.lax.cond(jnp.any(is_cpy & ~use_out),
+                return _cnd(jnp.any(is_cpy & ~use_out),
                                     _with_rd, lambda: row)
 
             # raw (unrotated) source row; rotated into place by the
             # single unified rotate in the window-write section
-            copy_row = jax.lax.cond(
+            copy_row = _cnd(
                 jnp.any(is_cpy & ~is_rrun), _copy_read,
                 lambda: jnp.zeros((B, 128), jnp.int32))
             # runs write the constant delta byte across the chunk
@@ -462,7 +475,7 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                                      g("last_delta")[:, None], (B, 128)),
                                  copy_row)
             if "copy" in _DUP:
-                copy_row = jnp.where(dcol, jax.lax.cond(
+                copy_row = jnp.where(dcol, _cnd(
                     jnp.any(is_cpy), _copy_read,
                     lambda: jnp.zeros((B, 128), jnp.int32)), copy_row)
 
@@ -530,7 +543,7 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                 & (grp_key == want_key)
             use_gc_any = use_gc | flag1_lit_ok | rlef_dlit_ok
             gsub_lit = grp_slot * 8 + (gctx & 3) * 2
-            lit_pair = jax.lax.cond(
+            lit_pair = _cnd(
                 jnp.any(use_gc_any),
                 lambda: _tile_pair_even(grp, gsub_lit >> 1),
                 lambda: jnp.zeros((B, 256), jnp.float32))
@@ -551,7 +564,7 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                     hi = hi + jnp.where(ohhi[:, s:s + 1], row, 0)
                 return jnp.concatenate([lo, hi], axis=1)
 
-            small_pair = jax.lax.cond(
+            small_pair = _cnd(
                 jnp.any(need_small), _stage_small,
                 lambda: jnp.zeros((B, 256), jnp.float32))
             comb = jnp.where(_col(use_gc), lit_pair, small_pair)
@@ -560,20 +573,20 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
             # guarantees KBITS-byte residency)
             roff0 = rc_ptr - rc_base
             rc_win_base = rc_base + (roff0 & ~127)
-            rc_pair = jax.lax.cond(
+            rc_pair = _cnd(
                 jnp.any(is_bit),
                 lambda: _tile_pair(rc_t, jnp.clip(roff0 >> 7, 0, TS - 1)),
                 lambda: jnp.zeros((B, 256), jnp.int32))
             if "stage" in _DUP:
-                lit2 = jax.lax.cond(
+                lit2 = _cnd(
                     jnp.any(use_gc_any),
                     lambda: _tile_pair_even(grp, (gsub_lit + dz) >> 1),
                     lambda: jnp.zeros((B, 256), jnp.float32))
-                small2 = jax.lax.cond(
+                small2 = _cnd(
                     jnp.any(need_small),
                     lambda: _stage_small(lo_row + dz, hi_row + dz),
                     lambda: jnp.zeros((B, 256), jnp.float32))
-                rc2 = jax.lax.cond(
+                rc2 = _cnd(
                     jnp.any(is_bit),
                     lambda: _tile_pair(rc_t,
                                        jnp.clip((roff0 + dz) >> 7, 0,
@@ -640,7 +653,7 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                     # stage the extra-nibble row for slot->extra streams
                     sw2 = (ph == PH_DEXTRA) & xwait & is_bit
                     exrow2 = jnp.clip(8 + ((ebv - 1) >> 3), 8, NP_ROWS - 1)
-                    exw = jax.lax.cond(
+                    exw = _cnd(
                         jnp.any(sw2),
                         lambda: _tile_one(probs, exrow2, nrows=NP_ROWS),
                         lambda: jnp.zeros((B, 128), jnp.float32))
@@ -672,7 +685,7 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                     # token-step extra row (slot tree done by bit 11)
                     sw3 = (ph == PH_DEXTRA) & m_dist2 & is_bit
                     exrow3 = jnp.clip(8 + ((ebv - 1) >> 3), 8, NP_ROWS - 1)
-                    exw3 = jax.lax.cond(
+                    exw3 = _cnd(
                         jnp.any(sw3),
                         lambda: _tile_one(probs, exrow3, nrows=NP_ROWS),
                         lambda: jnp.zeros((B, 128), jnp.float32))
@@ -907,7 +920,7 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                 return 0
 
             # (no "wb" DUP hook: the add-writeback is not idempotent)
-            jax.lax.cond(jnp.any(need_small & is_bit), _wb_probs,
+            _cnd(jnp.any(need_small & is_bit), _wb_probs,
                          lambda _: 0, 0)
 
             use_gc2 = use_gc | m_lit
@@ -925,7 +938,7 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                 grp[:, :, :] = grp[:, :, :] + upd_g
                 return 0
 
-            jax.lax.cond(jnp.any(use_gc2), _wb_grp, lambda _: 0, 0)
+            _cnd(jnp.any(use_gc2), _wb_grp, lambda _: 0, 0)
             rc_ptr2 = rcp
 
             # post-loop exit masks (transition dispatch below)
@@ -985,12 +998,12 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                 bc_bits_ = jnp.where(is_dird, bc_bits_ - nbits, bc_bits_)
                 return dval_, bc_val_, bc_bits_, bc_ptr_
 
-            dval, bc_val, bc_bits, bc_ptr2 = jax.lax.cond(
+            dval, bc_val, bc_bits, bc_ptr2 = _cnd(
                 jnp.any(is_dird), _dir_read,
                 lambda: (jnp.zeros((B,), jnp.int32), g("bc_val"),
                          g("bc_bits"), bc_ptr))
             if "dir" in _DUP:
-                dres = jax.lax.cond(
+                dres = _cnd(
                     jnp.any(is_dird), lambda: _dir_read(dz),
                     lambda: (jnp.zeros((B,), jnp.int32), g("bc_val"),
                              g("bc_bits"), bc_ptr))
@@ -1011,7 +1024,7 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                 return ((pb[0] << 24) | (pb[1] << 16)
                         | (pb[2] << 8) | pb[3])
 
-            prime_code = jax.lax.cond(
+            prime_code = _cnd(
                 jnp.any(is_prm), _prime_read,
                 lambda: jnp.zeros((B,), jnp.int32))
 
@@ -1363,7 +1376,7 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                 z = jnp.zeros_like(fsm)
                 return tuple(new_t) + (z, z, z, z, z, z, z, z, z)
 
-            _dp_out = jax.lax.cond(
+            _dp_out = _cnd(
                 jnp.any(is_dir | is_prm), _direct_prime_region,
                 _skip_region, tuple(new))
             new = list(_dp_out[:NR])
@@ -1390,7 +1403,7 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                                                (B, 2 * max_blocks)),
                               blklog_ref[:]))
                 return 0
-            jax.lax.cond(jnp.any(bt), _log_block, lambda _: 0, 0)
+            _cnd(jnp.any(bt), _log_block, lambda _: 0, 0)
 
 
             # ================== unified window write =====================
@@ -1438,10 +1451,10 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                     m3, jnp.broadcast_to(pos128[:, None, :],
                                          (B, TS, 128)), out_t[:, :, :])
                 return 0
-            jax.lax.cond(jnp.any(wany), lambda: _wnd_write(0),
+            _cnd(jnp.any(wany), lambda: _wnd_write(0),
                          lambda: 0)
             if "write" in _DUP:
-                jax.lax.cond(jnp.any(wany), lambda: _wnd_write(dz),
+                _cnd(jnp.any(wany), lambda: _wnd_write(dz),
                              lambda: 0)
 
             # flush request when a 1KB block boundary is crossed
@@ -1596,9 +1609,9 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                             pdlt_out.at[b, pl.ds(od, 8), :],
                             sem_sw).start()
                         return 0
-                    jax.lax.cond(okey < 64, to_lit, to_dlt, 0)
+                    _cnd(okey < 64, to_lit, to_dlt, 0)
                     return c2 + 1
-                c = jax.lax.cond(okey >= 0, wb, lambda c2: c2,
+                c = _cnd(okey >= 0, wb, lambda c2: c2,
                                  jnp.int32(1))
 
                 nsl = pl.multiple_of(nslot * 8, 8)
@@ -1615,7 +1628,7 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                         pdlt_out.at[b, pl.ds(nd_, 8), :],
                         grp.at[b, pl.ds(nsl, 8), :], sem_sw).start()
                     return 0
-                jax.lax.cond(nkey < 64, from_lit, from_dlt, 0)
+                _cnd(nkey < 64, from_lit, from_dlt, 0)
                 return c
             nsw = serve(RQ_SWAP_IDS, sw_issue)
 
@@ -1682,7 +1695,7 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                     if "serv" in _DUP:
                         service()
                     return 0
-                jax.lax.cond(any_req, _serve, lambda _: 0, 0)
+                _cnd(any_req, _serve, lambda _: 0, 0)
             return step + 1, tuple(new)
 
         rg0 = tuple(regs_ref[i, :] for i in range(NR))
@@ -1713,7 +1726,7 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                     out_t.at[b, pl.ds(slot, 8), :],
                     wnd_out.at[b, pl.ds(dst, 8), :], sem_fl).start()
                 return c + 1
-            cnt = jax.lax.cond(fblk <= last, go1, lambda c: c, cnt)
+            cnt = _cnd(fblk <= last, go1, lambda c: c, cnt)
 
             def go2(c):
                 blk = fblk + 1
@@ -1723,7 +1736,7 @@ def _make_kernel(B, NWS, NRCS, NBCS, NB, max_blocks=NBLK_LOG):
                     out_t.at[b, pl.ds(slot, 8), :],
                     wnd_out.at[b, pl.ds(dst, 8), :], sem_fl).start()
                 return c + 1
-            return jax.lax.cond(fblk + 1 <= last, go2, lambda c: c, cnt)
+            return _cnd(fblk + 1 <= last, go2, lambda c: c, cnt)
         nep = jax.lax.fori_loop(0, B, ep_body, 0)
 
         def ep_wait(i, _):
